@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Headline benchmark: ViT-S/16 RESISC45 images/sec/chip (train + infer).
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against the first recorded round of this framework (absolute
+throughput is the tracked metric).
+
+Measurement note: the TPU in this environment is reached through a tunnel
+with ~100ms per-dispatch latency, so steps are iterated INSIDE one jitted
+program (lax.scan) and the program is timed end-to-end — this measures
+device throughput, not tunnel round-trips.
+
+Prints exactly one JSON line.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+BATCH = 256
+INNER_ITERS = 50
+
+
+def build():
+    from myrtle_vision_tpu.models.vit import ViT
+    from myrtle_vision_tpu.training.classification import make_loss_fn
+    from myrtle_vision_tpu.training.optim import create_optimizer
+    from myrtle_vision_tpu.training.trainer import init_train_state
+
+    model = ViT(
+        decoder="classification",
+        image_size=224,
+        patch_size=16,
+        num_classes=45,
+        dim=384,
+        depth=12,
+        heads=6,
+        mlp_dim=1536,
+    )
+    train_config = {
+        "optimizer": "adamw",
+        "opt_eps": 1e-8,
+        "opt_betas": None,
+        "clip_grad": None,
+        "momentum": 0.9,
+        "weight_decay": 0.05,
+        "lr": 1e-4,
+    }
+    tx = create_optimizer(train_config)
+    rng = jax.random.PRNGKey(0)
+    state = init_train_state(
+        model, tx, rng, jnp.zeros((1, 224, 224, 3), jnp.float32)
+    )
+    return model, tx, state, make_loss_fn(model), rng
+
+
+def bench():
+    import optax
+
+    model, tx, state, loss_fn, rng = build()
+    images = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
+    labels = jnp.zeros((BATCH,), jnp.int32)
+
+    # ---- inference: INNER_ITERS forwards inside one program ----
+    @jax.jit
+    def infer_loop(params, images):
+        def body(carry, _):
+            out = model.apply(
+                {"params": params}, images + carry * 0, deterministic=True
+            )
+            return jnp.mean(out), None
+
+        final, _ = jax.lax.scan(
+            body, jnp.float32(0), None, length=INNER_ITERS
+        )
+        return final
+
+    float(infer_loop(state.params, images))  # compile + warm
+    t0 = time.perf_counter()
+    float(infer_loop(state.params, images))
+    infer_ips = BATCH * INNER_ITERS / (time.perf_counter() - t0)
+
+    # ---- training: INNER_ITERS optimizer steps inside one program ----
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    @jax.jit
+    def train_loop(state, images, labels, rng):
+        def body(carry, i):
+            st = carry
+            (loss, _), grads = grad_fn(
+                st.params, st.quant,
+                {"image": images, "label": labels},
+                jax.random.fold_in(rng, i),
+            )
+            updates, opt_state = tx.update(
+                grads, st.opt_state, st.params
+            )
+            params = optax.apply_updates(st.params, updates)
+            return st.replace(
+                params=params, opt_state=opt_state,
+                iteration=st.iteration + 1,
+            ), loss
+
+        st, losses = jax.lax.scan(
+            body, state, jnp.arange(INNER_ITERS)
+        )
+        return st, losses[-1]
+
+    state2, loss = train_loop(state, images, labels, rng)
+    float(loss)  # compile + warm
+    t0 = time.perf_counter()
+    state2, loss = train_loop(state2, images, labels, rng)
+    float(loss)
+    train_ips = BATCH * INNER_ITERS / (time.perf_counter() - t0)
+    return train_ips, infer_ips
+
+
+def main():
+    train_ips, infer_ips = bench()
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_r1.json"
+    )
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        try:
+            with open(baseline_path) as f:
+                first = json.load(f)
+            if first.get("value"):
+                vs = train_ips / float(first["value"])
+        except Exception:
+            pass
+    print(
+        json.dumps(
+            {
+                "metric": "resisc45_vit_s16_train_images_per_sec_per_chip",
+                "value": round(train_ips, 2),
+                "unit": "images/s",
+                "vs_baseline": round(vs, 4),
+                "infer_images_per_sec": round(infer_ips, 2),
+                "batch": BATCH,
+                "compute_dtype": "bfloat16",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

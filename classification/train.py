@@ -1,0 +1,333 @@
+#!/usr/bin/env python
+"""RESISC45 classification trainer (TPU-native).
+
+Drop-in replacement for the reference CLI (reference:
+classification/train.py): ``python train.py -c train_configs/vit_small.json``
+with the identical JSON config schema.  Architectural inversion: instead of
+``mp.spawn`` one process per GPU + DDP/NCCL (reference train.py:349-358),
+one process drives all local devices with a single jitted SPMD train step
+over a (data, model) mesh; gradients reduce over ICI via XLA collectives.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from myrtle_vision_tpu.data.loader import DataLoader, prefetch_to_device
+from myrtle_vision_tpu.datasets.resisc45 import Resisc45
+from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
+from myrtle_vision_tpu.parallel.mesh import mesh_from_dist_config
+from myrtle_vision_tpu.training.classification import (
+    make_loss_fn,
+    make_predict_fn,
+)
+from myrtle_vision_tpu.training.optim import (
+    create_optimizer,
+    cross_entropy_loss,
+    lr_at_epoch,
+)
+from myrtle_vision_tpu.training.trainer import (
+    init_train_state,
+    make_train_step,
+    state_shardings,
+)
+from myrtle_vision_tpu.utils.checkpoint import (
+    prepare_model_and_load_ckpt,
+    save_checkpoint,
+)
+from myrtle_vision_tpu.utils.config import (
+    get_batch_sizes,
+    parse_config,
+    seed_everything,
+)
+
+# platform override (the container sitecustomize pins the TPU plugin above
+# the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
+if os.environ.get("MVT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MVT_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def build_models(config, data_config):
+    """ViT (+ DistillWrapper/teacher) from config
+    (reference utils/models.py:25-60)."""
+    vit = ViT(**vit_kwargs_from_config(config, data_config))
+    distiller = teacher_fn = None
+    if "distiller_config" in config:
+        from myrtle_vision_tpu.models.distill import DistillWrapper
+        from myrtle_vision_tpu.models.resnet import make_teacher_fn
+
+        dc = config["distiller_config"]
+        distiller = DistillWrapper(
+            student=vit,
+            temperature=dc["temperature"],
+            alpha=dc["alpha"],
+        )
+        teacher_fn = make_teacher_fn(dc["teacher_weights_path"])
+    return vit, distiller, teacher_fn
+
+
+def validation(predict_fn, state, val_loader, distill_eval=None):
+    """Full-validation loss/accuracy (reference train.py:29-52)."""
+    total_loss, total_acc, n = 0.0, 0.0, 0
+    for batch in val_loader.epoch(0):
+        images = jnp.asarray(batch["image"])
+        labels = jnp.asarray(batch["label"])
+        logits = predict_fn(state.params, state.quant, images)
+        if distill_eval is not None:
+            loss = distill_eval(state.params, state.quant, images, labels)
+        else:
+            loss = cross_entropy_loss(logits, labels)
+        acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+        total_loss += float(loss)
+        total_acc += float(acc)
+        n += 1
+    return total_loss / max(n, 1), total_acc / max(n, 1)
+
+
+def train(config):
+    train_config = config["train_config"]
+    dist_config = config.get("dist_config")
+    data_config = parse_config(config["data_config_path"])
+
+    epochs = train_config["epochs"]
+    output_directory = train_config["output_directory"]
+    iters_per_checkpoint = train_config["iters_per_checkpoint"]
+    iters_per_val = train_config["iters_per_val"]
+    seed = train_config["seed"]
+
+    seed_everything(seed)
+
+    num_devices = len(jax.devices())
+    if not train_config.get("distributed", True):
+        num_devices = 1
+    mesh = mesh_from_dist_config(dist_config, num_devices=num_devices)
+    n_data = mesh.devices.shape[0]
+
+    batch_size, n_batch_accum = get_batch_sizes(
+        train_config["local_batch_size"],
+        n_data,
+        train_config["global_batch_size"],
+        verbose=True,
+    )
+    train_config["local_batch_size"] = batch_size
+    train_config["global_batch_size"] = batch_size * n_batch_accum * n_data
+    train_config["n_batch_accum"] = n_batch_accum
+    global_micro_batch = batch_size * n_data
+    step_batch = global_micro_batch * n_batch_accum
+
+    os.makedirs(output_directory, exist_ok=True)
+    print("output directory:", output_directory)
+    print(
+        f"devices: {num_devices} (data={n_data}, "
+        f"model={mesh.devices.shape[1]}), local_batch={batch_size}, "
+        f"n_accum={n_batch_accum}"
+    )
+
+    trainset = Resisc45(
+        mode="train",
+        dataset_path=data_config["dataset_path"],
+        imagepaths=data_config["train_files"],
+        label_map_path=data_config["label_map"],
+        transform_config=data_config["transform_ops_train"],
+    )
+    valset = Resisc45(
+        mode="eval",
+        dataset_path=data_config["dataset_path"],
+        imagepaths=data_config["valid_files"],
+        label_map_path=data_config["label_map"],
+        transform_config=data_config["transform_ops_val"],
+    )
+    train_loader = DataLoader(
+        trainset,
+        batch_size=step_batch,
+        shuffle=True,
+        seed=seed,
+        drop_last=train_config["drop_last_batch"],
+    )
+    val_loader = DataLoader(
+        valset,
+        batch_size=batch_size,  # local batch, like the reference val loader
+        shuffle=False,
+        seed=seed,
+        drop_last=train_config["drop_last_batch"],
+    )
+
+    vit, distiller, teacher_fn = build_models(config, data_config)
+    train_model = distiller if distiller is not None else vit
+
+    tx = create_optimizer(train_config)
+    sample = jnp.zeros(
+        (1, vit.image_size, vit.image_size, 3), jnp.float32
+    )
+    rng = jax.random.PRNGKey(seed)
+    if distiller is not None:
+        state = init_train_state(
+            distiller,
+            tx,
+            rng,
+            sample,
+            mesh=mesh,
+            labels=jnp.zeros((1,), jnp.int32),
+            teacher_logits=jnp.zeros(
+                (1, data_config["number_of_classes"]), jnp.float32
+            ),
+        )
+    else:
+        state = init_train_state(vit, tx, rng, sample, mesh=mesh)
+
+    # Pretrained timm backbone import (reference train.py:137-148)
+    pretrained = train_config.get("pretrained_backbone")
+    if pretrained is not None:
+        from myrtle_vision_tpu.utils.pretrained import (
+            load_pretrained_backbone,
+        )
+
+        target = state.params
+        if distiller is not None:
+            target = target["student"]
+        try:
+            merged = load_pretrained_backbone(target, pretrained)
+            if distiller is not None:
+                params = dict(state.params)
+                params["student"] = merged
+            else:
+                params = merged
+            state = state.replace(
+                params=jax.device_put(
+                    params, state_shardings(state, mesh).params
+                )
+            )
+            print(f"loaded pretrained backbone: {pretrained}")
+        except RuntimeError as e:
+            print(f"WARNING: pretrained backbone unavailable ({e}); "
+                  "training from scratch")
+
+    state, iteration = prepare_model_and_load_ckpt(train_config, state)
+
+    loss_fn = make_loss_fn(
+        vit if distiller is None else vit,
+        distiller=distiller,
+        teacher_fn=teacher_fn,
+    )
+    sharding = state_shardings(state, mesh)
+    batch_shard = {
+        "image": NamedSharding(mesh, P(None, "data")),
+        "label": NamedSharding(mesh, P(None, "data")),
+    }
+    train_step = make_train_step(
+        loss_fn,
+        tx,
+        n_batch_accum,
+        mesh=mesh,
+        state_sharding=sharding,
+        batch_sharding=batch_shard,
+    )
+    predict_fn = make_predict_fn(vit)
+
+    def distill_eval(params, quant, images, labels):
+        teacher_logits = teacher_fn(images)
+        variables = {"params": params}
+        if quant:
+            variables["quant"] = quant
+        loss, _ = distiller.apply(
+            variables, images, labels, teacher_logits, deterministic=True
+        )
+        return loss
+
+    eval_student_params = None
+
+    def reshape(batch):
+        return {
+            "image": batch["image"].reshape(
+                (n_batch_accum, global_micro_batch)
+                + batch["image"].shape[1:]
+            ),
+            "label": batch["label"].reshape(
+                (n_batch_accum, global_micro_batch)
+            ),
+        }
+
+    # epoch offset on resume (reference formula, train.py:181-183)
+    epoch_offset = max(
+        0, int(batch_size * n_data * iteration / len(trainset))
+    )
+    last_val_loss, last_val_acc = 0.0, 0.0
+    steps_per_epoch = len(train_loader)
+
+    for epoch in range(epoch_offset, epochs):
+        lr = lr_at_epoch(train_config, epoch)
+        epoch_loss, epoch_acc = 0.0, 0.0
+        t_epoch = time.time()
+        batches = prefetch_to_device(
+            train_loader.epoch(epoch), sharding=batch_shard, reshape=reshape
+        )
+        for batch in batches:
+            if iteration % iters_per_checkpoint == 0:
+                checkpoint_path = f"{output_directory}/vit_{iteration:06}"
+                save_checkpoint(state, checkpoint_path)
+            if iteration % iters_per_val == 0:
+                eval_state = state
+                if distiller is not None:
+                    eval_state = state.replace(
+                        params=state.params["student"]
+                    )
+                last_val_loss, last_val_acc = validation(
+                    predict_fn,
+                    eval_state,
+                    val_loader,
+                    distill_eval=(
+                        (
+                            lambda p, q, i, l: distill_eval(
+                                state.params, state.quant, i, l
+                            )
+                        )
+                        if distiller is not None
+                        else None
+                    ),
+                )
+
+            step_rng = jax.random.fold_in(rng, iteration)
+            state, metrics = train_step(state, batch, lr, step_rng)
+            iteration += 1
+            loss = float(metrics["loss"])
+            acc = float(metrics["acc"])
+            epoch_loss += loss / steps_per_epoch
+            epoch_acc += acc / steps_per_epoch
+            print(f"Iteration {iteration}:\tloss={loss:.4f}\tacc={acc:.4f}")
+
+        print(
+            f"Epoch : {epoch + 1} - loss : {epoch_loss:.4f} - "
+            f"acc: {epoch_acc:.4f} - "
+            f"val_loss : {last_val_loss:.4f} - "
+            f"val_acc: {last_val_acc:.4f} - "
+            f"time: {time.time() - t_epoch:.1f}s\n"
+        )
+
+    # final checkpoint
+    save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-c", "--config", type=str, help="JSON file for configuration"
+    )
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        config = json.loads(f.read())
+
+    config["train_config"]["output_directory"] += datetime.now().strftime(
+        "_%m_%d_%Y_%H_%M_%S"
+    )
+    train(config)

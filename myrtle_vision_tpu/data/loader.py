@@ -1,0 +1,144 @@
+"""Host input pipeline: threaded decode/augment + device prefetch.
+
+Replaces torch DataLoader + DistributedSampler (reference:
+classification/train.py:116-132).  Because training is one SPMD program over
+all devices (not one process per device), a single global loader feeds the
+whole mesh: per optimizer step it assembles
+``n_accum * global_batch`` samples, the trainer reshapes to
+[n_accum, global_batch, ...], and jit shards the batch dim over the mesh's
+data axis.
+
+Design for TPU feeding:
+  - a thread pool decodes/augments items (PIL/cv2 release the GIL);
+  - batches are assembled into preallocated contiguous arrays;
+  - ``prefetch_to_device`` keeps N batches in flight with async H2D
+    transfers so the MXU never waits on the host.
+
+Shuffling matches DistributedSampler semantics: a permutation seeded by
+(seed, epoch) (reference train.py:196-200 set_epoch), drop_last drops the
+trailing partial step (static shapes — no recompiles).
+"""
+from __future__ import annotations
+
+import collections
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 0,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(1, num_workers)
+        self.prefetch_batches = prefetch_batches
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _order(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            return rng.permutation(n)
+        return np.arange(n)
+
+    def epoch(self, epoch: int = 0) -> Iterator[dict]:
+        """Yield collated numpy batches for one epoch."""
+        order = self._order(epoch)
+        n_batches = len(self)
+        item_seed = (self.seed * 100003 + epoch) & 0x7FFFFFFF
+
+        def fetch(idx: int):
+            rng = np.random.default_rng((item_seed, int(idx)))
+            item = self.dataset.__getitem__(int(idx), rng=rng)
+            return item
+
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            # pipeline batches: submit ahead, collect in order
+            pending = collections.deque()
+            ahead = self.prefetch_batches + 1
+
+            def submit(b):
+                lo = b * self.batch_size
+                hi = min(lo + self.batch_size, len(order))
+                idxs = order[lo:hi]
+                if len(idxs) < self.batch_size and not self.drop_last:
+                    # wrap-around fill keeps shapes static (documented
+                    # deviation: the reference emits a ragged final batch,
+                    # which would force an XLA recompile per epoch)
+                    idxs = np.concatenate(
+                        [idxs, order[: self.batch_size - len(idxs)]]
+                    )
+                pending.append([pool.submit(fetch, i) for i in idxs])
+
+            for b in range(min(ahead, n_batches)):
+                submit(b)
+            for b in range(n_batches):
+                futures = pending.popleft()
+                if b + ahead < n_batches:
+                    submit(b + ahead)
+                items = [f.result() for f in futures]
+                yield _collate(items)
+
+
+def _collate(items):
+    out = {}
+    for key in items[0]:
+        out[key] = np.stack([it[key] for it in items])
+    return out
+
+
+def prefetch_to_device(
+    iterator, sharding=None, reshape=None, size: int = 2
+):
+    """Wrap a host batch iterator with a background thread that stages the
+    next ``size`` batches on device (async H2D over PCIe while the TPU
+    computes). ``reshape`` optionally maps the host batch (e.g. adding the
+    accumulation dim) before transfer."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    END = object()
+
+    def producer():
+        try:
+            for batch in iterator:
+                if reshape is not None:
+                    batch = reshape(batch)
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        except BaseException as e:  # surface worker errors to the consumer
+            q.put(e)
+            return
+        q.put(END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item

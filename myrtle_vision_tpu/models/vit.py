@@ -1,0 +1,722 @@
+"""Vision Transformer backbone with three task decoders, in flax.
+
+TPU-native re-design of the reference ViT
+(reference: src/myrtle_vision/models/vit.py:164-396):
+
+- One backbone, three interchangeable decoders selected by ``decoder``
+  ("classification" | "segmentation" | "detection", vit.py:196-201).
+- Patch extraction is a pure reshape (NOT a conv), matching the reference's
+  reshape/permute patchify (vit.py:271-275); images are NHWC here (the
+  natural TPU layout) with identical per-patch element ordering
+  (patch_row, patch_col, channel) so timm conv weights import with the same
+  (O,I,H,W) -> (O,(H,W,I)) permutation (reference utils/models.py:214-220).
+- Positional embeddings are stored at the fixed 14x14+1 grid and bicubically
+  interpolated on the fly to the actual patch grid, YOLOS-style
+  (vit.py:216-218, 292-302), with a separate learned embedding for the
+  detection tokens (vit.py:219).
+- Quantization fake-quant sites are threaded through every layer at the
+  positions where the reference inserts stubs/observers — see
+  myrtle_vision_tpu/quantize.py for the site map.  The attention softmax
+  core always runs fp32 (vit.py:78-97).
+- Parameters are float32; activations use ``dtype`` (bfloat16 by default for
+  FP32 training — native on TPU; forced to float32 when simulating a
+  quantized format so the fake-quant numerics are exact).
+
+Construction produces a pure ``apply(variables, img, ...)`` function + param
+pytree for jit/pjit — there is no eager module graph to mutate (the
+reference's quantizer rewires modules in-place; we don't need to).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from myrtle_vision_tpu.ops.attention import multi_head_attention
+from myrtle_vision_tpu.ops.interpolate import resize_bicubic, resize_bilinear
+from myrtle_vision_tpu.quantize import ActQuant, QFormat, quantize_weight
+
+MIN_NUM_PATCHES = 16  # reference vit.py:14
+
+
+def _torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default init (kaiming_uniform(a=sqrt(5))) on an
+    (in, out) kernel: U(-1/sqrt(fan_in), 1/sqrt(fan_in))."""
+    fan_in = shape[0]
+    bound = fan_in ** -0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def _torch_linear_bias_init(fan_in):
+    bound = fan_in ** -0.5
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class QDense(nn.Module):
+    """Linear layer with the reference's quantization sites attached:
+    a pre-activation fake-quant stub, weight fake-quant, and the module's
+    activation post-process (reference quantize.py:121-143, 215-220)."""
+
+    features: int
+    q_format: QFormat
+    converted: bool = False
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, calibrating: bool = False):
+        x = ActQuant(self.q_format, "pre_linear", name="act_in")(
+            x, calibrating
+        )
+        in_features = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            _torch_linear_kernel_init,
+            (in_features, self.features),
+            jnp.float32,
+        )
+        kernel = quantize_weight(
+            kernel, self.q_format, "linear", self.converted
+        )
+        y = jnp.dot(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            preferred_element_type=self.dtype,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                _torch_linear_bias_init(in_features),
+                (self.features,),
+                jnp.float32,
+            )
+            y = y + bias.astype(self.dtype)
+        return ActQuant(self.q_format, "post_op", name="act_out")(
+            y, calibrating
+        )
+
+
+class QLayerNorm(nn.Module):
+    """LayerNorm with pre-activation stub and post-op observer; the weight is
+    fake-quantized only after convert() (torch has no qat.LayerNorm —
+    reference quantize.py:146-166)."""
+
+    q_format: QFormat
+    converted: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, calibrating: bool = False):
+        x = ActQuant(self.q_format, "pre_linear", name="act_in")(
+            x, calibrating
+        )
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        scale = quantize_weight(scale, self.q_format, "norm", self.converted)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)  # torch eps=1e-5
+        y = (y * scale + bias).astype(self.dtype)
+        return ActQuant(self.q_format, "post_op", name="act_out")(
+            y, calibrating
+        )
+
+
+class QGelu(nn.Module):
+    """Exact (erf) GELU with the reference's dequant/requant boundary
+    (reference quantize.py:169-184; torch nn.GELU is exact, not tanh)."""
+
+    q_format: QFormat
+
+    @nn.compact
+    def __call__(self, x, calibrating: bool = False):
+        x = ActQuant(self.q_format, "gelu_in", name="act_in")(x, calibrating)
+        y = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+        y = y.astype(x.dtype)
+        return ActQuant(self.q_format, "gelu_out", name="act_out")(
+            y, calibrating
+        )
+
+
+class FeedForward(nn.Module):
+    """Linear -> GELU -> Dropout -> Linear -> Dropout (reference vit.py:44-56)."""
+
+    dim: int
+    hidden_dim: int
+    q_format: QFormat
+    converted: bool = False
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, calibrating=False):
+        x = QDense(
+            self.hidden_dim, self.q_format, self.converted, dtype=self.dtype,
+            name="fc1",
+        )(x, calibrating)
+        x = QGelu(self.q_format, name="gelu")(x, calibrating)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = QDense(
+            self.dim, self.q_format, self.converted, dtype=self.dtype,
+            name="fc2",
+        )(x, calibrating)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class Attention(nn.Module):
+    """Fused-QKV multi-head self-attention (reference vit.py:59-99).
+
+    The QKV projection output is dequantized and the softmax/matmul core runs
+    fp32; the result is requantized before the output projection — the exact
+    quantization boundary of the reference (vit.py:78-79, 86, 97).
+    """
+
+    dim: int
+    heads: int
+    dim_head: int = 64
+    dropout: float = 0.0
+    q_format: QFormat = QFormat.FP32
+    converted: bool = False
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        calibrating: bool = False,
+        capture_attention: bool = False,
+    ):
+        b, n, c = x.shape
+        inner_dim = self.dim_head * self.heads
+        assert inner_dim == c, (
+            "attention inner dim must equal model dim (all reference configs "
+            "satisfy heads * 64 == embed_dim)"
+        )
+        scale = self.dim_head ** -0.5
+
+        qkv = QDense(
+            inner_dim * 3, self.q_format, self.converted, dtype=self.dtype,
+            name="to_qkv",
+        )(x, calibrating)
+        # dequant boundary (reference vit.py:78,86): core runs fp32
+        qkv = qkv.astype(jnp.float32)
+        qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads)
+        qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, b, h, n, d)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if capture_attention:
+            out, probs = multi_head_attention(
+                q, k, v, scale, impl="xla", return_probs=True
+            )
+            # analogue of the reference's attn_output Identity hook point
+            # (vit.py:80-82,94)
+            self.sow("intermediates", "attn_probs", probs)
+        else:
+            out = multi_head_attention(q, k, v, scale, impl=self.attn_impl)
+
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(self.dtype)
+        # requant boundary before the output projection (vit.py:79,97)
+        out = ActQuant(self.q_format, "stub", name="quant_out")(
+            out, calibrating
+        )
+        out = QDense(
+            self.dim, self.q_format, self.converted, dtype=self.dtype,
+            name="to_out",
+        )(out, calibrating)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class ResidualAdd(nn.Module):
+    """Residual add through a quantizable functional
+    (reference vit.py:17-27, FloatFunctional)."""
+
+    q_format: QFormat
+
+    @nn.compact
+    def __call__(self, fn_out, x, calibrating: bool = False):
+        return ActQuant(self.q_format, "functional", name="res_add")(
+            fn_out + x, calibrating
+        )
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block:
+    Residual(PreNorm(Attention)) + Residual(PreNorm(FeedForward))
+    (reference vit.py:102-161)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float
+    q_format: QFormat
+    converted: bool = False
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        calibrating: bool = False,
+        capture_attention: bool = False,
+    ):
+        with jax.named_scope("transformer:attention"):
+            y = QLayerNorm(
+                self.q_format, self.converted, dtype=self.dtype,
+                name="attn_norm",
+            )(x, calibrating)
+            y = Attention(
+                self.dim,
+                self.heads,
+                self.dim_head,
+                self.dropout,
+                self.q_format,
+                self.converted,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="attn",
+            )(y, deterministic, calibrating, capture_attention)
+            x = ResidualAdd(self.q_format, name="attn_res")(y, x, calibrating)
+        with jax.named_scope("transformer:feedforward"):
+            y = QLayerNorm(
+                self.q_format, self.converted, dtype=self.dtype,
+                name="ffn_norm",
+            )(x, calibrating)
+            y = FeedForward(
+                self.dim,
+                self.mlp_dim,
+                self.q_format,
+                self.converted,
+                self.dropout,
+                dtype=self.dtype,
+                name="ffn",
+            )(y, deterministic, calibrating)
+            x = ResidualAdd(self.q_format, name="ffn_res")(y, x, calibrating)
+        return x
+
+
+class Transformer(nn.Module):
+    """depth x Block (reference vit.py:102-161)."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float
+    q_format: QFormat
+    converted: bool = False
+    dtype: Any = jnp.float32
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        deterministic: bool = True,
+        calibrating: bool = False,
+        capture_attention: bool = False,
+    ):
+        for i in range(self.depth):
+            x = Block(
+                self.dim,
+                self.heads,
+                self.dim_head,
+                self.mlp_dim,
+                self.dropout,
+                self.q_format,
+                self.converted,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"layers_{i}",
+            )(x, deterministic, calibrating, capture_attention)
+        return x
+
+
+class ClassificationDecoder(nn.Module):
+    """cls token -> LayerNorm -> Linear(num_classes) (reference vit.py:325-342)."""
+
+    dim: int
+    num_classes: int
+    q_format: QFormat
+    converted: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, calibrating: bool = False):
+        x = x[:, 0]
+        x = QLayerNorm(
+            self.q_format, self.converted, dtype=self.dtype, name="norm"
+        )(x, calibrating)
+        return QDense(
+            self.num_classes, self.q_format, self.converted, dtype=self.dtype,
+            name="linear",
+        )(x, calibrating)
+
+
+class SegmentationDecoder(nn.Module):
+    """Drop cls token -> LayerNorm -> per-patch Linear(num_classes) ->
+    bilinear upsample to image size ("Segmenter" linear decoder, reference
+    vit.py:344-374).  Output is NHWC (B, H, W, num_classes) — the TPU-native
+    layout; the reference returns NCHW."""
+
+    dim: int
+    num_classes: int
+    image_size: int
+    patch_size: int
+    q_format: QFormat
+    converted: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, calibrating: bool = False):
+        x = x[:, 1:]
+        x = QLayerNorm(
+            self.q_format, self.converted, dtype=self.dtype, name="norm"
+        )(x, calibrating)
+        x = QDense(
+            self.num_classes, self.q_format, self.converted, dtype=self.dtype,
+            name="linear",
+        )(x, calibrating)
+        b, hw, c = x.shape
+        grid = self.image_size // self.patch_size
+        x = x.reshape(b, grid, grid, c).astype(jnp.float32)
+        # torch nn.Upsample(mode='bilinear', align_corners=False), as two
+        # constant weight matmuls (ops/interpolate.py)
+        return resize_bilinear(x, self.image_size, self.image_size)
+
+
+class DetectionDecoder(nn.Module):
+    """YOLOS head on the last num_det_tokens tokens: Linear class logits
+    (+1 no-object class) and sigmoid'd Linear box regression
+    (reference vit.py:376-396)."""
+
+    dim: int
+    num_classes: int
+    num_det_tokens: int
+    q_format: QFormat
+    converted: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, calibrating: bool = False):
+        x = x[:, -self.num_det_tokens :, :]
+        logits = QDense(
+            self.num_classes + 1,
+            self.q_format,
+            self.converted,
+            dtype=self.dtype,
+            name="class_embed",
+        )(x, calibrating)
+        boxes = QDense(
+            4, self.q_format, self.converted, dtype=self.dtype,
+            name="bbox_embed",
+        )(x, calibrating)
+        return {
+            "pred_logits": logits.astype(jnp.float32),
+            "pred_boxes": jax.nn.sigmoid(boxes.astype(jnp.float32)),
+        }
+
+
+def interpolate_pos_embedding(pos_embedding, grid_h, grid_w):
+    """Bicubically rescale the stored 14x14 positional grid to
+    (grid_h, grid_w) on the fly, YOLOS-style (reference vit.py:292-302).
+
+    Uses a torch-exact separable bicubic (A=-0.75, half-pixel centers)
+    expressed as two constant weight matmuls — see ops/interpolate.py;
+    ``jax.image.resize`` would use the A=-0.5 kernel and break parity with
+    torch/timm checkpoints."""
+    _, n, dim = pos_embedding.shape
+    src = int(round((n) ** 0.5))
+    if (grid_h, grid_w) == (src, src):
+        return pos_embedding
+    grid = pos_embedding.reshape(1, src, src, dim).astype(jnp.float32)
+    grid = resize_bicubic(grid, grid_h, grid_w)
+    return grid.reshape(1, grid_h * grid_w, dim).astype(pos_embedding.dtype)
+
+
+class ViT(nn.Module):
+    """The shared backbone + decoder (reference vit.py:164-323).
+
+    Forward contract:
+      img: (B, H, W, C) float NHWC.
+      Returns logits (classification), NHWC pixel logits (segmentation) or a
+      {"pred_logits", "pred_boxes"} dict (detection).
+
+    ``distill_token`` (a (1, 1, dim) array) appends a distillation token to
+    the sequence and additionally returns its final embedding — the
+    DeiT student path (reference distill.py:35-87; the reference's version
+    crashes against the current backbone, see SURVEY §2.2 — this is the
+    repaired intent: cls-token pooling + the classification decoder head).
+    """
+
+    decoder: str
+    image_size: int
+    patch_size: int
+    num_classes: int
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    channels: int = 3
+    dim_head: int = 64
+    dropout: float = 0.0
+    emb_dropout: float = 0.0
+    num_det_tokens: int = 100
+    q_format: QFormat = QFormat.FP32
+    converted: bool = False
+    dtype: Any = jnp.bfloat16
+    attn_impl: str = "auto"
+
+    def setup(self):
+        assert self.image_size % self.patch_size == 0, (
+            "Image dimensions must be divisible by the patch size."
+        )
+        num_patches = (self.image_size // self.patch_size) ** 2
+        assert num_patches > MIN_NUM_PATCHES, (
+            f"your number of patches ({num_patches}) is way too small for "
+            f"attention to be effective (at least 16). Try decreasing your "
+            f"patch size"
+        )
+        assert self.decoder in {
+            "classification",
+            "segmentation",
+            "detection",
+        }, "decoder must be either classification, segmentation, or detection"
+
+        # quantized-format simulation requires exact fp32 activations
+        compute_dtype = (
+            jnp.float32 if self.q_format != QFormat.FP32 else self.dtype
+        )
+        self._dtype = compute_dtype
+
+        patch_dim = self.channels * self.patch_size ** 2
+        normal = nn.initializers.normal(stddev=1.0)
+        # stored at the fixed 14x14+1 grid regardless of image size
+        # (reference vit.py:216-218)
+        self.pos_embedding = self.param(
+            "pos_embedding", normal, (1, 14 * 14 + 1, self.dim), jnp.float32
+        )
+        self.pos_embedding_det = self.param(
+            "pos_embedding_det",
+            normal,
+            (1, self.num_det_tokens, self.dim),
+            jnp.float32,
+        )
+        self.cls_token = self.param(
+            "cls_token", normal, (1, 1, self.dim), jnp.float32
+        )
+        self.det_tokens = self.param(
+            "det_tokens", normal, (1, self.num_det_tokens, self.dim),
+            jnp.float32,
+        )
+        self.patch_to_embedding = QDense(
+            self.dim,
+            self.q_format,
+            self.converted,
+            dtype=compute_dtype,
+            name="patch_to_embedding",
+        )
+        del patch_dim
+        self.transformer = Transformer(
+            self.dim,
+            self.depth,
+            self.heads,
+            self.dim_head,
+            self.mlp_dim,
+            self.dropout,
+            self.q_format,
+            self.converted,
+            dtype=compute_dtype,
+            attn_impl=self.attn_impl,
+            name="transformer",
+        )
+        if self.decoder == "classification":
+            self.head = ClassificationDecoder(
+                self.dim, self.num_classes, self.q_format, self.converted,
+                dtype=compute_dtype, name="decoder",
+            )
+        elif self.decoder == "segmentation":
+            self.head = SegmentationDecoder(
+                self.dim,
+                self.num_classes,
+                self.image_size,
+                self.patch_size,
+                self.q_format,
+                self.converted,
+                dtype=compute_dtype,
+                name="decoder",
+            )
+        else:
+            self.head = DetectionDecoder(
+                self.dim,
+                self.num_classes,
+                self.num_det_tokens,
+                self.q_format,
+                self.converted,
+                dtype=compute_dtype,
+                name="decoder",
+            )
+        self.quant_img = ActQuant(self.q_format, "stub", name="quant_img")
+        self.quant_pos_embedding = ActQuant(
+            self.q_format, "stub", name="quant_pos_embedding"
+        )
+        self.quant_cls_token = ActQuant(
+            self.q_format, "stub", name="quant_cls_token"
+        )
+        self.quant_det_tokens = ActQuant(
+            self.q_format, "stub", name="quant_det_tokens"
+        )
+        self.quant_distill_token = ActQuant(
+            self.q_format, "stub", name="quant_distill_token"
+        )
+        self.cls_token_cat = ActQuant(
+            self.q_format, "functional", name="cls_token_cat"
+        )
+        self.pos_embedding_cat = ActQuant(
+            self.q_format, "functional", name="pos_embedding_cat"
+        )
+        self.pos_embedding_add = ActQuant(
+            self.q_format, "functional", name="pos_embedding_add"
+        )
+        self.distill_token_cat = ActQuant(
+            self.q_format, "functional", name="distill_token_cat"
+        )
+        self.emb_drop = nn.Dropout(self.emb_dropout)
+
+    def patchify(self, img):
+        """NHWC image -> (B, num_patches, p*p*C) with (row, col, channel)
+        per-patch element order (reference vit.py:271-275 does the same from
+        NCHW via permute(0,2,4,3,5,1))."""
+        b, h, w, c = img.shape
+        p = self.patch_size
+        x = img.reshape(b, h // p, p, w // p, p, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5)
+        return x.reshape(b, (h // p) * (w // p), p * p * c)
+
+    def __call__(
+        self,
+        img,
+        deterministic: bool = True,
+        calibrating: bool = False,
+        capture_attention: bool = False,
+        distill_token=None,
+    ):
+        b, h, w, c = img.shape
+        p = self.patch_size
+        grid_h, grid_w = h // p, w // p
+        dtype = self._dtype
+
+        x = self.patchify(img.astype(dtype))
+        x = self.quant_img(x, calibrating)
+        with jax.named_scope("patch_to_embedding"):
+            x = self.patch_to_embedding(x, calibrating)
+
+        is_detection = self.decoder == "detection"
+
+        cls_tokens = jnp.broadcast_to(
+            self.cls_token.astype(dtype), (b, 1, self.dim)
+        )
+        cls_tokens = self.quant_cls_token(cls_tokens, calibrating)
+        if is_detection:
+            det_tokens = jnp.broadcast_to(
+                self.det_tokens.astype(dtype),
+                (b, self.num_det_tokens, self.dim),
+            )
+            det_tokens = self.quant_det_tokens(det_tokens, calibrating)
+            x = self.cls_token_cat(
+                jnp.concatenate([cls_tokens, x, det_tokens], axis=1),
+                calibrating,
+            )
+        else:
+            x = self.cls_token_cat(
+                jnp.concatenate([cls_tokens, x], axis=1), calibrating
+            )
+
+        pos_cls = self.pos_embedding[:, 0:1, :]
+        pos_patches = interpolate_pos_embedding(
+            self.pos_embedding[:, 1:, :], grid_h, grid_w
+        )
+        if is_detection:
+            pos = jnp.concatenate(
+                [pos_cls, pos_patches, self.pos_embedding_det], axis=1
+            )
+        else:
+            pos = jnp.concatenate([pos_cls, pos_patches], axis=1)
+        pos = self.pos_embedding_cat(pos.astype(dtype), calibrating)
+        pos = self.quant_pos_embedding(pos, calibrating)
+        x = self.pos_embedding_add(x + pos, calibrating)
+
+        if distill_token is not None:
+            # DeiT student: distillation token appended at the end
+            # (reference distill.py:65-69)
+            dt = jnp.broadcast_to(
+                distill_token.astype(dtype), (b, 1, self.dim)
+            )
+            dt = self.quant_distill_token(dt, calibrating)
+            x = self.distill_token_cat(
+                jnp.concatenate([x, dt], axis=1), calibrating
+            )
+
+        x = self.emb_drop(x, deterministic=deterministic)
+
+        with jax.named_scope("transformer"):
+            x = self.transformer(
+                x, deterministic, calibrating, capture_attention
+            )
+
+        if distill_token is not None:
+            x, distill_out = x[:, :-1], x[:, -1]
+
+        with jax.named_scope("mlp_head"):
+            output = self.head(x, calibrating)
+
+        if isinstance(output, dict):
+            pass  # detection dict already fp32
+        else:
+            output = output.astype(jnp.float32)
+
+        if distill_token is not None:
+            return output, distill_out.astype(jnp.float32)
+        return output
+
+
+def vit_kwargs_from_config(config, data_config):
+    """Build ViT constructor kwargs from the reference JSON config schema
+    (reference utils/models.py:25-60)."""
+    vit_config = config["vit_config"]
+    kwargs = dict(
+        decoder=vit_config["decoder"],
+        image_size=vit_config["image_size"],
+        patch_size=vit_config["patch_size"],
+        num_classes=data_config["number_of_classes"],
+        dim=vit_config["embed_dim"],
+        depth=vit_config["depth"],
+        heads=vit_config["heads"],
+        mlp_dim=vit_config["mlp_dim"],
+        dropout=vit_config["dropout"],
+        emb_dropout=vit_config["emb_dropout"],
+        q_format=QFormat[vit_config["q_format"]],
+        # every reference config satisfies embed_dim == heads * 64; deriving
+        # keeps arbitrary dims (e.g. tiny test models) valid too
+        dim_head=vit_config.get(
+            "dim_head", vit_config["embed_dim"] // vit_config["heads"]
+        ),
+    )
+    if "num_det_tokens" in vit_config:
+        kwargs["num_det_tokens"] = vit_config["num_det_tokens"]
+    if "compute_dtype" in vit_config:
+        kwargs["dtype"] = jnp.dtype(vit_config["compute_dtype"])
+    return kwargs

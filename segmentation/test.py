@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""DLRSD segmentation evaluation CLI: mIoU + per-class IoU.
+
+Reference parity: ``python test.py -c <config.json>``
+(reference: segmentation/test.py:79-88 prints overall mIoU and per-class
+IoU using the class names from the label map).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myrtle_vision_tpu.data.loader import DataLoader
+from myrtle_vision_tpu.datasets.dlrsd import Dlrsd
+from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
+from myrtle_vision_tpu.training.classification import make_predict_fn
+from myrtle_vision_tpu.training.optim import create_optimizer
+from myrtle_vision_tpu.training.trainer import init_train_state
+from myrtle_vision_tpu.utils.checkpoint import prepare_model_and_load_ckpt
+from myrtle_vision_tpu.utils.config import get_label_list, parse_config
+from myrtle_vision_tpu.utils.metrics import MIoU
+
+# platform override (the container sitecustomize pins the TPU plugin above
+# the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
+if os.environ.get("MVT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MVT_PLATFORM"])
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+
+def test_seg(config):
+    train_config = config["train_config"]
+    data_config = parse_config(config["data_config_path"])
+    n_classes = data_config["number_of_classes"]
+
+    testset = Dlrsd(
+        mode="test",
+        dataset_path=data_config["dataset_path"],
+        imagepaths=data_config["test_files"],
+        label_map_path=data_config["label_map"],
+        transform_config=data_config["transform_ops_val"],
+    )
+    test_loader = DataLoader(
+        testset,
+        batch_size=train_config["local_batch_size"],
+        drop_last=train_config["drop_last_batch"],
+    )
+
+    config["vit_config"]["dropout"] = 0.0
+    config["vit_config"]["emb_dropout"] = 0.0
+    vit = ViT(**vit_kwargs_from_config(config, data_config))
+
+    assert (
+        train_config["checkpoint_path"] != ""
+    ), "Must provide a checkpoint path in the config file"
+    tx = create_optimizer(train_config)
+    state = init_train_state(
+        vit, tx, jax.random.PRNGKey(0),
+        jnp.zeros((1, vit.image_size, vit.image_size, 3)),
+    )
+    state, _ = prepare_model_and_load_ckpt(
+        train_config, state, restore_optimizer=False
+    )
+
+    predict_fn = make_predict_fn(vit)
+    miou = MIoU(num_classes=n_classes)
+    for batch in test_loader.epoch(0):
+        logits = predict_fn(
+            state.params, state.quant, jnp.asarray(batch["image"])
+        )
+        preds = np.asarray(jnp.argmax(logits, -1))
+        miou.add_batch(preds, batch["label"])
+
+    label_list = get_label_list(
+        data_config["dataset_path"], data_config["label_map"]
+    )
+    per_class = miou.get_per_class_iou()
+    print(f"mIoU: {miou.get_miou():.4f}")
+    for name, iou in zip(label_list, per_class):
+        print(f"  {name:>15}: {iou:.4f}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-c", "--config", type=str, help="JSON file for configuration"
+    )
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        config = json.loads(f.read())
+
+    test_seg(config)

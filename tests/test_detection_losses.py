@@ -1,0 +1,230 @@
+"""Detection stack unit tests: box ops, Hungarian matcher, SetCriterion,
+PostProcess (reference: src/myrtle_vision/models/{matcher,detector}.py)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrtle_vision_tpu.models.detector import (
+    build_weight_dict,
+    criterion,
+    post_process,
+)
+from myrtle_vision_tpu.models.matcher import hungarian_match
+from myrtle_vision_tpu.ops.boxes import (
+    box_cxcywh_to_xyxy,
+    box_iou,
+    box_xyxy_to_cxcywh,
+    generalized_box_iou,
+)
+
+
+class TestBoxOps:
+    def test_convert_roundtrip(self):
+        boxes = jnp.array([[0.5, 0.5, 0.2, 0.4], [0.1, 0.9, 0.05, 0.1]])
+        rt = box_xyxy_to_cxcywh(box_cxcywh_to_xyxy(boxes))
+        np.testing.assert_allclose(np.asarray(rt), np.asarray(boxes),
+                                   atol=1e-7)
+
+    def test_iou_known_values(self):
+        a = jnp.array([[0.0, 0.0, 2.0, 2.0]])
+        b = jnp.array([[1.0, 1.0, 3.0, 3.0], [0.0, 0.0, 2.0, 2.0],
+                       [5.0, 5.0, 6.0, 6.0]])
+        iou, _ = box_iou(a, b)
+        np.testing.assert_allclose(
+            np.asarray(iou)[0], [1 / 7, 1.0, 0.0], atol=1e-6
+        )
+
+    def test_giou_identical_is_one_disjoint_negative(self):
+        a = jnp.array([[0.0, 0.0, 1.0, 1.0]])
+        b = jnp.array([[0.0, 0.0, 1.0, 1.0], [2.0, 0.0, 3.0, 1.0]])
+        g = np.asarray(generalized_box_iou(a, b))[0]
+        assert g[0] == pytest.approx(1.0)
+        # disjoint: iou 0, hull 3x1 -> giou = 0 - (3-2)/3 = -1/3
+        assert g[1] == pytest.approx(-1 / 3, abs=1e-6)
+
+
+def _one_hot_logits(ids, n, confident=8.0):
+    return confident * np.eye(n)[ids]
+
+
+class TestMatcher:
+    def test_obvious_assignment(self):
+        # two targets near queries 2 and 0
+        q_boxes = np.array(
+            [[[0.1, 0.1, 0.1, 0.1], [0.5, 0.5, 0.1, 0.1],
+              [0.9, 0.9, 0.1, 0.1]]],
+            np.float32,
+        )
+        t_boxes = np.array(
+            [[[0.9, 0.9, 0.1, 0.1], [0.1, 0.1, 0.1, 0.1]]], np.float32
+        )
+        logits = np.zeros((1, 3, 4), np.float32)
+        labels = np.array([[0, 1]], np.int32)
+        valid = np.array([[True, True]])
+        src = np.asarray(
+            hungarian_match(
+                jnp.array(logits), jnp.array(q_boxes), jnp.array(labels),
+                jnp.array(t_boxes), jnp.array(valid),
+            )
+        )
+        assert src[0, 0] == 2  # target 0 -> query 2
+        assert src[0, 1] == 0  # target 1 -> query 0
+
+    def test_class_cost_breaks_ties(self):
+        # same boxes, distinct classes: match by classification prob
+        q_boxes = np.tile(
+            np.array([[[0.5, 0.5, 0.2, 0.2]]], np.float32), (1, 2, 1)
+        )
+        t_boxes = q_boxes.copy()
+        logits = np.array(
+            [[_one_hot_logits(1, 3), _one_hot_logits(0, 3)]],
+            np.float32,
+        )  # query0 predicts class1, query1 predicts class0
+        labels = np.array([[0, 1]], np.int32)
+        valid = np.array([[True, True]])
+        src = np.asarray(
+            hungarian_match(
+                jnp.array(logits), jnp.array(q_boxes), jnp.array(labels),
+                jnp.array(t_boxes), jnp.array(valid),
+            )
+        )
+        assert src[0, 0] == 1 and src[0, 1] == 0
+
+    def test_empty_targets(self):
+        src = np.asarray(
+            hungarian_match(
+                jnp.zeros((2, 4, 3)), jnp.full((2, 4, 4), 0.5),
+                jnp.zeros((2, 2), jnp.int32), jnp.zeros((2, 2, 4)),
+                jnp.zeros((2, 2), bool),
+            )
+        )
+        np.testing.assert_array_equal(src, 0)
+
+    def test_matches_scipy_reference_costs(self):
+        """End-to-end cost-matrix parity: our device cost + native LSAP must
+        give the reference's assignment (scipy on numpy-built costs)."""
+        from scipy.optimize import linear_sum_assignment
+        from scipy.special import softmax as sp_softmax
+
+        rng = np.random.RandomState(0)
+        B, Q, M, C = 3, 10, 4, 5
+        logits = rng.randn(B, Q, C + 1).astype(np.float32)
+        pboxes = rng.uniform(0.2, 0.8, (B, Q, 4)).astype(np.float32)
+        tlabels = rng.randint(0, C, (B, M)).astype(np.int32)
+        tboxes = rng.uniform(0.2, 0.8, (B, M, 4)).astype(np.float32)
+        valid = np.ones((B, M), bool)
+
+        src = np.asarray(
+            hungarian_match(
+                jnp.array(logits), jnp.array(pboxes), jnp.array(tlabels),
+                jnp.array(tboxes), jnp.array(valid),
+                cost_class=1.0, cost_bbox=5.0, cost_giou=2.0,
+            )
+        )
+
+        def np_giou(a, b):
+            g = np.asarray(
+                generalized_box_iou(jnp.array(a), jnp.array(b))
+            )
+            return g
+
+        for b in range(B):
+            prob = sp_softmax(logits[b], axis=-1)
+            c_class = -prob[:, tlabels[b]]
+            c_bbox = np.abs(
+                pboxes[b][:, None, :] - tboxes[b][None, :, :]
+            ).sum(-1)
+            c_giou = -np_giou(
+                np.asarray(box_cxcywh_to_xyxy(jnp.array(pboxes[b]))),
+                np.asarray(box_cxcywh_to_xyxy(jnp.array(tboxes[b]))),
+            )
+            C_mat = 5.0 * c_bbox + 1.0 * c_class + 2.0 * c_giou
+            rows, cols = linear_sum_assignment(C_mat)
+            expected = np.zeros(M, np.int32)
+            expected[cols] = rows
+            np.testing.assert_array_equal(src[b], expected)
+
+
+class TestCriterion:
+    def _targets(self):
+        return {
+            "labels": jnp.array([[1, 2, 0]], jnp.int32),
+            "boxes": jnp.array(
+                [[[0.3, 0.3, 0.2, 0.2], [0.7, 0.7, 0.1, 0.1],
+                  [0.5, 0.5, 0.0, 0.0]]]
+            ),
+            "valid": jnp.array([[True, True, False]]),
+        }
+
+    def test_perfect_predictions_near_zero_box_loss(self):
+        t = self._targets()
+        logits = np.full((1, 5, 4), -8.0, np.float32)
+        logits[:, :, 3] = 8.0  # default: confident no-object
+        logits[0, 1] = _one_hot_logits(1, 4)
+        logits[0, 3] = _one_hot_logits(2, 4)
+        boxes = np.full((1, 5, 4), 0.5, np.float32)
+        boxes[0, 1] = [0.3, 0.3, 0.2, 0.2]
+        boxes[0, 3] = [0.7, 0.7, 0.1, 0.1]
+        out = {"pred_logits": jnp.array(logits),
+               "pred_boxes": jnp.array(boxes)}
+        losses = criterion(out, t, num_classes=3)
+        assert float(losses["loss_bbox"]) == pytest.approx(0.0, abs=1e-6)
+        assert float(losses["loss_giou"]) == pytest.approx(0.0, abs=1e-5)
+        assert float(losses["loss_ce"]) < 0.01
+        assert float(losses["class_error"]) == pytest.approx(0.0)
+        assert float(losses["cardinality_error"]) == pytest.approx(0.0)
+
+    def test_weighted_total(self):
+        t = self._targets()
+        out = {
+            "pred_logits": jnp.zeros((1, 5, 4)),
+            "pred_boxes": jnp.full((1, 5, 4), 0.5),
+        }
+        wd = build_weight_dict(
+            {"loss_ce": 1.0, "class_error": 0.0, "loss_bbox": 5.0,
+             "loss_giou": 2.0, "cardinality_error": 0.0}
+        )
+        losses = criterion(out, t, num_classes=3, weight_dict=wd)
+        expected = (
+            float(losses["loss_ce"])
+            + 5 * float(losses["loss_bbox"])
+            + 2 * float(losses["loss_giou"])
+        )
+        assert float(losses["loss"]) == pytest.approx(expected, rel=1e-6)
+
+    def test_gradients_flow(self):
+        import jax
+
+        t = self._targets()
+        wd = {"loss_ce": 1.0, "loss_bbox": 5.0, "loss_giou": 2.0}
+
+        def loss(pred):
+            losses = criterion(pred, t, num_classes=3, weight_dict=wd)
+            return losses["loss"]
+
+        pred = {
+            "pred_logits": jnp.zeros((1, 5, 4)),
+            "pred_boxes": jnp.full((1, 5, 4), 0.5),
+        }
+        g = jax.grad(loss)(pred)
+        for leaf in jax.tree_util.tree_leaves(g):
+            assert np.isfinite(np.asarray(leaf)).all()
+        assert np.abs(np.asarray(g["pred_boxes"])).sum() > 0
+
+
+class TestPostProcess:
+    def test_scaling_and_no_object_exclusion(self):
+        logits = np.full((1, 2, 3), -5.0, np.float32)
+        logits[0, 0, 1] = 5.0  # class 1 confident
+        logits[0, 1, 2] = 5.0  # no-object confident
+        boxes = np.array([[[0.5, 0.5, 0.5, 0.25],
+                           [0.25, 0.25, 0.1, 0.1]]], np.float32)
+        out = post_process(
+            {"pred_logits": jnp.array(logits), "pred_boxes": jnp.array(boxes)},
+            jnp.array([[100, 200]]),  # h, w
+        )
+        b0 = np.asarray(out["boxes"])[0, 0]
+        np.testing.assert_allclose(b0, [50.0, 37.5, 150.0, 62.5], atol=1e-4)
+        assert int(np.asarray(out["labels"])[0, 0]) == 1
+        # the no-object query still reports its best REAL class with low score
+        assert float(np.asarray(out["scores"])[0, 1]) < 0.1

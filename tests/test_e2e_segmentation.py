@@ -1,0 +1,128 @@
+"""End-to-end segmentation training on a synthetic DLRSD-style dataset
+(BASELINE config 4 at tiny scale, virtual 8-device CPU mesh)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TESTS_DIR)
+
+
+@pytest.fixture(scope="module")
+def synthetic_dlrsd(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dlrsd")
+    os.makedirs(root / "imgs")
+    os.makedirs(root / "maps")
+    rng = np.random.RandomState(0)
+    pairs = []
+    for i in range(24):
+        img = rng.randint(0, 255, (48, 48, 3), dtype=np.uint8)
+        # 1-based stored masks (the loader shifts -1)
+        seg = rng.randint(1, 4, (48, 48), dtype=np.uint8)
+        Image.fromarray(img).save(root / "imgs" / f"{i:02}.png")
+        Image.fromarray(seg, mode="L").save(root / "maps" / f"{i:02}.png")
+        pairs.append(f"imgs/{i:02}.png,maps/{i:02}.png")
+    for split, sl in [("train", slice(0, 16)), ("val", slice(16, 20)),
+                      ("test", slice(20, 24))]:
+        with open(root / f"{split}_imagepaths.txt", "w") as f:
+            f.write("\n".join(pairs[sl]) + "\n")
+    with open(root / "label_map.json", "w") as f:
+        json.dump({"a": 0, "b": 1, "c": 2}, f)
+    return root
+
+
+def test_train_and_eval(synthetic_dlrsd, tmp_path):
+    root = synthetic_dlrsd
+    data_config = {
+        "dataset_path": str(root),
+        "train_files": "train_imagepaths.txt",
+        "valid_files": "val_imagepaths.txt",
+        "test_files": "test_imagepaths.txt",
+        "label_map": "label_map.json",
+        "number_of_classes": 3,
+        "transform_ops_train": {
+            "Resize": 80,
+            "RandomResizedCrop": 80,
+            "RandomHorizontalFlip": None,
+            "Normalize": {"Mean": [0.5, 0.5, 0.5], "Std": [0.5, 0.5, 0.5]},
+        },
+        "transform_ops_val": {
+            "Resize": 80,
+            "Normalize": {"Mean": [0.5, 0.5, 0.5], "Std": [0.5, 0.5, 0.5]},
+        },
+    }
+    data_config_path = str(tmp_path / "data_config.json")
+    with open(data_config_path, "w") as f:
+        json.dump(data_config, f)
+    config = {
+        "train_config": {
+            "output_directory": str(tmp_path / "ckpts"),
+            "checkpoint_path": "",
+            "epochs": 1,
+            "local_batch_size": 1,
+            "global_batch_size": 8,
+            "iters_per_checkpoint": 1,
+            "iters_per_val": 1,
+            "seed": 3,
+            "drop_last_batch": True,
+            "optimizer": "adamw",
+            "opt_eps": 1e-8,
+            "opt_betas": None,
+            "clip_grad": None,
+            "momentum": 0.9,
+            "weight_decay": 0.05,
+            "scheduler": "cosine",
+            "lr": 1e-3,
+            "lr_noise": None,
+            "warmup_lr": 1e-6,
+            "min_lr": 1e-5,
+            "decay_epochs": 15,
+            "warmup_epochs": 0,
+            "cooldown_epochs": 0,
+            "patience_epochs": 5,
+            "decay_rate": 0.1,
+            "distributed": True,
+            "pretrained_backbone": None,
+        },
+        "data_config_path": data_config_path,
+        "dist_config": {
+            "dist_backend": "nccl",
+            "dist_url": "tcp://localhost:54321",
+        },
+        "vit_config": {
+            "decoder": "segmentation",
+            "image_size": 80,
+            "patch_size": 16,
+            "embed_dim": 32,
+            "depth": 1,
+            "heads": 1,
+            "mlp_dim": 64,
+            "dropout": 0.0,
+            "emb_dropout": 0.0,
+            "q_format": "FP32",
+            "compute_dtype": "float32",
+        },
+    }
+    from conftest import load_script_module
+
+    seg_train = load_script_module(
+        os.path.join(REPO, "segmentation", "train.py"), "seg_train_script"
+    )
+    os.chdir(tmp_path)  # TensorBoard runs/ dir lands in tmp
+    seg_train.train(config)
+
+    out_dir = config["train_config"]["output_directory"]
+    ckpts = sorted(os.listdir(out_dir))
+    assert ckpts
+
+    config["train_config"]["checkpoint_path"] = os.path.join(
+        out_dir, ckpts[-1]
+    )
+    seg_test_mod = load_script_module(
+        os.path.join(REPO, "segmentation", "test.py"), "seg_test_script"
+    )
+    seg_test_mod.test_seg(config)
