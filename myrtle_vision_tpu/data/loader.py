@@ -40,6 +40,7 @@ class DataLoader:
         drop_last: bool = True,
         num_workers: int = 8,
         prefetch_batches: int = 2,
+        collate_fn=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -48,6 +49,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = prefetch_batches
+        self.collate_fn = collate_fn or _collate
 
     def __len__(self):
         n = len(self.dataset)
@@ -98,7 +100,7 @@ class DataLoader:
                 if b + ahead < n_batches:
                     submit(b + ahead)
                 items = [f.result() for f in futures]
-                yield _collate(items)
+                yield self.collate_fn(items)
 
 
 def _collate(items):

@@ -286,12 +286,12 @@ def from_config(transform_config) -> Compose:
 # Batch collation: static-shape padding for TPU
 # ---------------------------------------------------------------------------
 
-def pad_to_bucket(size: int, granularity: int = 128, minimum: int = 256):
+def pad_to_bucket(size: int, granularity: int = 128):
     """Round a spatial dim up to a bucket boundary: bounded set of distinct
     compiled shapes instead of the reference's per-batch max padding
     (NestedTensor, reference detection.py:59-81), which would trigger an XLA
     recompile for every new (H, W)."""
-    return max(minimum, -(-size // granularity) * granularity)
+    return -(-size // granularity) * granularity
 
 
 def collate_detection(items, max_boxes: int = 100, bucket: int = 128):

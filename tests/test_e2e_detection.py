@@ -1,0 +1,169 @@
+"""End-to-end detection training on a synthetic COCO-format dataset
+(BASELINE config 5 at tiny scale, virtual 8-device CPU mesh)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(TESTS_DIR)
+
+
+@pytest.fixture(scope="module")
+def synthetic_coco(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dior")
+    rng = np.random.RandomState(0)
+    for split, n in [("train", 16), ("val", 4), ("test", 4)]:
+        os.makedirs(root / split)
+        images, annotations = [], []
+        ann_id = 0
+        for i in range(n):
+            img_id = {"train": 0, "val": 1000, "test": 2000}[split] + i
+            arr = rng.randint(0, 100, (96, 96, 3), dtype=np.uint8)
+            boxes = []
+            for _ in range(rng.randint(1, 4)):
+                w, h = rng.randint(16, 40, 2)
+                x = rng.randint(0, 96 - w)
+                y = rng.randint(0, 96 - h)
+                cat = rng.randint(0, 2)
+                color = [220, 40, 40] if cat == 0 else [40, 220, 40]
+                arr[y : y + h, x : x + w] = color
+                boxes.append((cat, x, y, w, h))
+            Image.fromarray(arr).save(root / split / f"{img_id}.jpg")
+            images.append(
+                {"id": img_id, "width": 96, "height": 96,
+                 "file_name": f"{img_id}.jpg"}
+            )
+            for cat, x, y, w, h in boxes:
+                annotations.append(
+                    {
+                        "id": ann_id,
+                        "image_id": img_id,
+                        "category_id": cat,
+                        "bbox": [int(x), int(y), int(w), int(h)],
+                        "area": int(w * h),
+                        "iscrowd": 0,
+                        "segmentation": [],
+                    }
+                )
+                ann_id += 1
+        os.makedirs(root / "annotations", exist_ok=True)
+        with open(root / "annotations" / f"{split}.json", "w") as f:
+            json.dump(
+                {
+                    "info": {},
+                    "licenses": [],
+                    "images": images,
+                    "annotations": annotations,
+                    "categories": [
+                        {"id": 0, "name": "red", "supercategory": "red"},
+                        {"id": 1, "name": "green", "supercategory": "green"},
+                    ],
+                },
+                f,
+            )
+    return root
+
+
+def test_train_and_eval(synthetic_coco, tmp_path):
+    root = synthetic_coco
+    data_config = {
+        "dataset_path": str(root),
+        "train_images": "train",
+        "valid_images": "val",
+        "test_images": "test",
+        "train_annotations": "train.json",
+        "valid_annotations": "val.json",
+        "test_annotations": "test.json",
+        "train_subset": None,
+        "valid_subset": None,
+        "test_subset": None,
+        "number_of_classes": 2,
+        "transform_ops_train": {
+            "RandomHorizontalFlip": None,
+            "RandomResize": {"scales": [96], "max_size_ratio": None},
+            "Normalize": {"Mean": [0.5, 0.5, 0.5], "Std": [0.5, 0.5, 0.5]},
+        },
+        "transform_ops_val": {
+            "RandomResize": {"scales": [96], "max_size_ratio": None},
+            "Normalize": {"Mean": [0.5, 0.5, 0.5], "Std": [0.5, 0.5, 0.5]},
+        },
+    }
+    data_config_path = str(tmp_path / "data_config.json")
+    with open(data_config_path, "w") as f:
+        json.dump(data_config, f)
+    config = {
+        "train_config": {
+            "output_directory": str(tmp_path / "ckpts"),
+            "checkpoint_path": "",
+            "epochs": 1,
+            "local_batch_size": 1,
+            "global_batch_size": 8,
+            "seed": 5,
+            "drop_last_batch": True,
+            "optimizer": "adamw",
+            "opt_eps": 1e-8,
+            "opt_betas": None,
+            "clip_grad": None,
+            "momentum": 0.9,
+            "weight_decay": 0.05,
+            "scheduler": "cosine",
+            "lr": 1e-4,
+            "warmup_lr": 1e-6,
+            "min_lr": 1e-7,
+            "decay_epochs": 15,
+            "warmup_epochs": 0,
+            "cooldown_epochs": 0,
+            "patience_epochs": 5,
+            "decay_rate": 0.1,
+            "loss_ce": 1.0,
+            "class_error": 0.0,
+            "loss_bbox": 5.0,
+            "loss_giou": 2.0,
+            "cardinality_error": 0.0,
+            "eos_coef": 0.1,
+            "distributed": True,
+            "pretrained_backbone": None,
+        },
+        "data_config_path": data_config_path,
+        "dist_config": {
+            "dist_backend": "nccl",
+            "dist_url": "tcp://localhost:54321",
+        },
+        "vit_config": {
+            "decoder": "detection",
+            "image_size": 96,
+            "patch_size": 16,
+            "embed_dim": 32,
+            "depth": 1,
+            "heads": 1,
+            "mlp_dim": 64,
+            "dropout": 0.0,
+            "num_det_tokens": 10,
+            "emb_dropout": 0.0,
+            "q_format": "FP32",
+            "compute_dtype": "float32",
+        },
+    }
+    from conftest import load_script_module
+
+    det_train = load_script_module(
+        os.path.join(REPO, "detection", "train.py"), "det_train_script"
+    )
+    os.chdir(tmp_path)
+    det_train.train(config)
+
+    out_dir = config["train_config"]["output_directory"]
+    ckpts = sorted(os.listdir(out_dir))
+    assert "vit_best" in ckpts  # best-AP checkpoint written
+
+    config["train_config"]["checkpoint_path"] = os.path.join(
+        out_dir, "vit_best"
+    )
+    det_test = load_script_module(
+        os.path.join(REPO, "detection", "test.py"), "det_test_script"
+    )
+    det_test.test_detection(config)
