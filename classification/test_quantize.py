@@ -41,7 +41,10 @@ from test import classification_report, evaluate_dataset  # noqa: E402
 # the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
 if os.environ.get("MVT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MVT_PLATFORM"])
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_cache_{os.environ.get('MVT_PLATFORM', 'tpu')}",
+)
 
 
 def calibrate(model, state, val_loader, calib_steps):

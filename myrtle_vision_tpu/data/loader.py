@@ -83,14 +83,10 @@ class DataLoader:
             def submit(b):
                 lo = b * self.batch_size
                 hi = min(lo + self.batch_size, len(order))
+                # drop_last=False emits a ragged final batch (torch
+                # semantics; costs one extra XLA compile for the tail shape
+                # but keeps eval counts exact)
                 idxs = order[lo:hi]
-                if len(idxs) < self.batch_size and not self.drop_last:
-                    # wrap-around fill keeps shapes static (documented
-                    # deviation: the reference emits a ragged final batch,
-                    # which would force an XLA recompile per epoch)
-                    idxs = np.concatenate(
-                        [idxs, order[: self.batch_size - len(idxs)]]
-                    )
                 pending.append([pool.submit(fetch, i) for i in idxs])
 
             for b in range(min(ahead, n_batches)):

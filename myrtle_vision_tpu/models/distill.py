@@ -28,6 +28,28 @@ from myrtle_vision_tpu.models.vit import ViT
 from myrtle_vision_tpu.training.optim import cross_entropy_loss
 
 
+def distillation_loss(
+    student_logits, distill_logits, teacher_logits, labels, temperature,
+    alpha,
+):
+    """DeiT loss (reference distill.py:128-151):
+    alpha * CE(student, labels) + (1-alpha) * T^2 *
+    KL(log_softmax(distill/T) || softmax(teacher/T)), KL batchmean."""
+    T = temperature
+    ce = cross_entropy_loss(student_logits, labels)
+    log_q = jax.nn.log_softmax(
+        distill_logits.astype(jnp.float32) / T, axis=-1
+    )
+    p = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T, axis=-1)
+    log_p = jax.nn.log_softmax(
+        teacher_logits.astype(jnp.float32) / T, axis=-1
+    )
+    # torch F.kl_div(log_q, p, reduction="batchmean") =
+    # mean_b sum_c p * (log p - log q)
+    kl = jnp.mean(jnp.sum(p * (log_p - log_q), axis=-1))
+    return ce * alpha + kl * (T ** 2) * (1 - alpha)
+
+
 class DistillWrapper(nn.Module):
     student: ViT
     temperature: float = 1.0
@@ -67,19 +89,7 @@ class DistillWrapper(nn.Module):
         )
         distill_logits = nn.Dense(num_classes, name="distill_mlp_linear")(x)
 
-        ce = cross_entropy_loss(student_logits, labels)
-
-        log_q = jax.nn.log_softmax(
-            distill_logits.astype(jnp.float32) / T, axis=-1
+        loss = distillation_loss(
+            student_logits, distill_logits, teacher_logits, labels, T, a
         )
-        p = jax.nn.softmax(teacher_logits.astype(jnp.float32) / T, axis=-1)
-        log_p = jax.nn.log_softmax(
-            teacher_logits.astype(jnp.float32) / T, axis=-1
-        )
-        # torch F.kl_div(log_q, p, reduction="batchmean") = mean_b sum_c
-        # p * (log p - log q)
-        kl = jnp.mean(jnp.sum(p * (log_p - log_q), axis=-1))
-        distill_loss = kl * (T ** 2)
-
-        loss = ce * a + distill_loss * (1 - a)
         return loss, student_logits

@@ -150,3 +150,143 @@ def make_teacher_fn(weights_path: str, arch: str = "resnet50"):
     """Frozen-teacher logits fn (reference utils/models.py:14-22)."""
     params = load_torch_resnet(weights_path, arch)
     return functools.partial(resnet_apply, params, arch=arch)
+
+
+def resnet_apply_torch_sd(
+    sd, images, arch: str = "resnet50", train: bool = False,
+    bn_momentum: float = 0.1,
+):
+    """Forward from a RAW torch-layout state dict (OIHW convs, separate BN
+    gamma/beta/running stats) — used by the finetuning CLI so checkpoints
+    stay torch-compatible round-trip (classification/finetune_cnn.py).
+
+    Eval mode (train=False): running statistics normalize (torch
+    model.eval()); returns logits.
+    Train mode: batch statistics normalize (differentiable through
+    mean/var, torch model.train()) and the function also returns the
+    EMA-updated running stats dict {name.running_mean/var} (torch
+    momentum-0.1 update with unbiased batch variance).
+    """
+    new_stats = {}
+
+    def conv(name, x, stride, pad):
+        w = jnp.transpose(jnp.asarray(sd[f"{name}.weight"]), (2, 3, 1, 0))
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), ((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    def bn(name, x):
+        gamma = jnp.asarray(sd[f"{name}.weight"])
+        beta = jnp.asarray(sd[f"{name}.bias"])
+        if train:
+            mu = jnp.mean(x, axis=(0, 1, 2))
+            var = jnp.mean(
+                jnp.square(x - mu[None, None, None, :]), axis=(0, 1, 2)
+            )
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * n / max(n - 1, 1)
+            m = bn_momentum
+            new_stats[f"{name}.running_mean"] = jax.lax.stop_gradient(
+                (1 - m) * jnp.asarray(sd[f"{name}.running_mean"]) + m * mu
+            )
+            new_stats[f"{name}.running_var"] = jax.lax.stop_gradient(
+                (1 - m) * jnp.asarray(sd[f"{name}.running_var"])
+                + m * unbiased
+            )
+        else:
+            mu = jnp.asarray(sd[f"{name}.running_mean"])
+            var = jnp.asarray(sd[f"{name}.running_var"])
+        return gamma * (x - mu) * jax.lax.rsqrt(var + 1e-5) + beta
+
+    def basic(prefix, x, stride):
+        identity = x
+        out = jax.nn.relu(bn(f"{prefix}.bn1",
+                             conv(f"{prefix}.conv1", x, stride, 1)))
+        out = bn(f"{prefix}.bn2", conv(f"{prefix}.conv2", out, 1, 1))
+        if f"{prefix}.downsample.0.weight" in sd:
+            identity = bn(f"{prefix}.downsample.1",
+                          conv(f"{prefix}.downsample.0", x, stride, 0))
+        return jax.nn.relu(out + identity)
+
+    def bottleneck(prefix, x, stride):
+        identity = x
+        out = jax.nn.relu(bn(f"{prefix}.bn1",
+                             conv(f"{prefix}.conv1", x, 1, 0)))
+        out = jax.nn.relu(bn(f"{prefix}.bn2",
+                             conv(f"{prefix}.conv2", out, stride, 1)))
+        out = bn(f"{prefix}.bn3", conv(f"{prefix}.conv3", out, 1, 0))
+        if f"{prefix}.downsample.0.weight" in sd:
+            identity = bn(f"{prefix}.downsample.1",
+                          conv(f"{prefix}.downsample.0", x, stride, 0))
+        return jax.nn.relu(out + identity)
+
+    block_kind, layout = _ARCH[arch]
+    block = basic if block_kind == "basic" else bottleneck
+
+    x = jax.nn.relu(bn("bn1", conv("conv1", images, 2, 3)))
+    x = jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    for li, blocks in enumerate(layout, start=1):
+        for bi in range(blocks):
+            stride = 2 if (li > 1 and bi == 0) else 1
+            x = block(f"layer{li}.{bi}", x, stride)
+    x = jnp.mean(x, axis=(1, 2))
+    logits = x @ jnp.asarray(sd["fc.weight"]).T + jnp.asarray(sd["fc.bias"])
+    if train:
+        return logits, new_stats
+    return logits
+
+
+def random_state_dict(arch: str, num_classes: int, seed: int = 0):
+    """torchvision-layout random state dict (OIHW convs, BN buffers) — for
+    tests and for initializing finetuning without downloaded weights."""
+    rng = np.random.RandomState(seed)
+    block_kind, layout = _ARCH[arch]
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[f"{name}.weight"] = (
+            rng.randn(o, i, k, k) * (2.0 / (i * k * k)) ** 0.5
+        ).astype(np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = np.ones(c, np.float32)
+        sd[f"{name}.bias"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_mean"] = np.zeros(c, np.float32)
+        sd[f"{name}.running_var"] = np.ones(c, np.float32)
+        sd[f"{name}.num_batches_tracked"] = np.int64(0)
+
+    conv("conv1", 64, 3, 7)
+    bn("bn1", 64)
+    in_ch = 64
+    widths = (64, 128, 256, 512)
+    for li, (blocks, width) in enumerate(zip(layout, widths), start=1):
+        out_ch = width * (4 if block_kind == "bottleneck" else 1)
+        for bi in range(blocks):
+            p = f"layer{li}.{bi}"
+            if block_kind == "bottleneck":
+                conv(f"{p}.conv1", width, in_ch, 1)
+                bn(f"{p}.bn1", width)
+                conv(f"{p}.conv2", width, width, 3)
+                bn(f"{p}.bn2", width)
+                conv(f"{p}.conv3", out_ch, width, 1)
+                bn(f"{p}.bn3", out_ch)
+            else:
+                conv(f"{p}.conv1", width, in_ch, 3)
+                bn(f"{p}.bn1", width)
+                conv(f"{p}.conv2", width, width, 3)
+                bn(f"{p}.bn2", width)
+            if bi == 0 and (in_ch != out_ch or li > 1):
+                conv(f"{p}.downsample.0", out_ch, in_ch, 1)
+                bn(f"{p}.downsample.1", out_ch)
+            in_ch = out_ch
+    sd["fc.weight"] = (
+        rng.randn(num_classes, in_ch) * in_ch ** -0.5
+    ).astype(np.float32)
+    sd["fc.bias"] = np.zeros(num_classes, np.float32)
+    return sd

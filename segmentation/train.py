@@ -52,7 +52,10 @@ from myrtle_vision_tpu.utils.metrics import MIoU
 # the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
 if os.environ.get("MVT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MVT_PLATFORM"])
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/jax_cache_{os.environ.get('MVT_PLATFORM', 'tpu')}",
+)
 
 
 def validation(predict_fn, state, val_loader, n_classes, iteration, writer):

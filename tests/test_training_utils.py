@@ -144,13 +144,13 @@ class TestLoader:
         assert not np.array_equal(e0, e1)
         np.testing.assert_array_equal(e0, e0b)
 
-    def test_wraparound_without_drop_last(self):
+    def test_ragged_final_batch_without_drop_last(self):
         from myrtle_vision_tpu.data.loader import DataLoader
 
         loader = DataLoader(self._dataset(10), batch_size=4, drop_last=False)
         batches = list(loader.epoch(0))
         assert len(batches) == 3
-        assert all(b["image"].shape[0] == 4 for b in batches)
+        assert [b["image"].shape[0] for b in batches] == [4, 4, 2]
 
 
 class TestCheckpoint:
