@@ -195,6 +195,7 @@ class Attention(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
+        seq_valid=None,
     ):
         b, n, c = x.shape
         inner_dim = self.dim_head * self.heads
@@ -208,8 +209,9 @@ class Attention(nn.Module):
             inner_dim * 3, self.q_format, self.converted, dtype=self.dtype,
             name="to_qkv",
         )(x, calibrating)
-        # dequant boundary (reference vit.py:78,86): core runs fp32
-        qkv = qkv.astype(jnp.float32)
+        # dequant boundary (reference vit.py:78,86): the core's softmax and
+        # accumulations run fp32; under a quantized format the whole core
+        # is fp32 (self.dtype is already float32 then)
         qkv = qkv.reshape(b, n, 3, self.heads, c // self.heads)
         qkv = qkv.transpose(2, 0, 3, 1, 4)  # (3, b, h, n, d)
         q, k, v = qkv[0], qkv[1], qkv[2]
@@ -222,7 +224,14 @@ class Attention(nn.Module):
             # (vit.py:80-82,94)
             self.sow("intermediates", "attn_probs", probs)
         else:
-            out = multi_head_attention(q, k, v, scale, impl=self.attn_impl)
+            impl = self.attn_impl
+            if impl == "auto" and self.q_format != QFormat.FP32:
+                # quant-format simulation keeps the reference's exact fp32
+                # einsum core (vit.py:92-96)
+                impl = "xla"
+            out = multi_head_attention(
+                q, k, v, scale, impl=impl, seq_valid=seq_valid
+            )
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(self.dtype)
         # requant boundary before the output projection (vit.py:79,97)
@@ -271,6 +280,7 @@ class Block(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
+        seq_valid=None,
     ):
         with jax.named_scope("transformer:attention"):
             y = QLayerNorm(
@@ -287,7 +297,7 @@ class Block(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name="attn",
-            )(y, deterministic, calibrating, capture_attention)
+            )(y, deterministic, calibrating, capture_attention, seq_valid)
             x = ResidualAdd(self.q_format, name="attn_res")(y, x, calibrating)
         with jax.named_scope("transformer:feedforward"):
             y = QLayerNorm(
@@ -328,6 +338,7 @@ class Transformer(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
+        seq_valid=None,
     ):
         for i in range(self.depth):
             x = Block(
@@ -341,7 +352,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"layers_{i}",
-            )(x, deterministic, calibrating, capture_attention)
+            )(x, deterministic, calibrating, capture_attention, seq_valid)
         return x
 
 
@@ -672,10 +683,34 @@ class ViT(nn.Module):
 
         x = self.emb_drop(x, deterministic=deterministic)
 
+        # Pad the token sequence ONCE to a 128 multiple and run the whole
+        # transformer padded (keys masked in attention; padded rows never
+        # mix into valid tokens and are sliced off below).  Per-layer
+        # pad/slice in the attention kernel measured ~1ms/layer of HBM
+        # traffic; 128-aligned rows also tile the MXU cleanly.  The
+        # quant-simulation and attention-capture paths stay unpadded for
+        # reference-exact numerics.
+        n_tokens = x.shape[1]
+        n_aligned = -(-n_tokens // 128) * 128
+        # NOTE: measured net-neutral on v5e — the 30% extra elementwise work
+        # on pad rows cancels the saved per-layer pad/slice; disabled until
+        # the fused block kernels land (where aligned rows come free).
+        pad_seq = False and (
+            self.q_format == QFormat.FP32
+            and not capture_attention
+            and n_aligned != n_tokens
+        )
+        seq_valid = None
+        if pad_seq:
+            x = jnp.pad(x, ((0, 0), (0, n_aligned - n_tokens), (0, 0)))
+            seq_valid = n_tokens
+
         with jax.named_scope("transformer"):
             x = self.transformer(
-                x, deterministic, calibrating, capture_attention
+                x, deterministic, calibrating, capture_attention, seq_valid
             )
+        if pad_seq:
+            x = x[:, :n_tokens]
 
         if distill_token is not None:
             x, distill_out = x[:, :-1], x[:, -1]

@@ -1,25 +1,28 @@
 """Multi-head self-attention compute core.
 
-The softmax-attention core always runs in float32 regardless of the model's
-quantization format — mirroring the reference's quantization boundary where a
-DeQuantStub follows the QKV projection and a QuantStub precedes the output
-projection (reference: src/myrtle_vision/models/vit.py:78-97).
+The softmax-attention core runs with float32 softmax regardless of the
+model's quantization format — mirroring the reference's quantization
+boundary where a DeQuantStub follows the QKV projection and a QuantStub
+precedes the output projection (reference: src/myrtle_vision/models/
+vit.py:78-97).
 
-Two interchangeable implementations behind one signature:
-  - ``xla``: jnp.einsum softmax attention (XLA fuses this well at ViT sizes)
-  - ``flash``: a Pallas TPU flash-attention kernel (ops/flash_attention.py)
-    used automatically for long sequences (detection at 800px -> 2601 tokens)
-    where materializing the (n, n) attention matrix wastes HBM bandwidth.
+Layout: inputs are (batch, heads, seq, head_dim).  (A bnhd einsum variant
+was profiled and rejected: XLA lowers the head-major contraction to slow
+convolution fusions plus the same HBM copies.)
+
+Implementations behind one signature:
+  - ``flash``: the Pallas kernel (ops/flash_attention.py), head-grouped
+    batched-dot programs; measured ~25% faster than the einsum path at
+    n=197 and far faster at detection lengths (scores never reach HBM).
+  - ``xla``: einsum attention with fp32 scores/softmax — the quant-parity
+    and probability-capture path.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-# Sequence length above which the Pallas flash kernel wins over the XLA
-# einsum path (the einsum path is faster at classification's 197 tokens
-# because the whole score matrix fits comfortably in VMEM/caches).
-_FLASH_MIN_SEQ = 512
+
 
 
 def multi_head_attention(
@@ -30,37 +33,49 @@ def multi_head_attention(
     *,
     impl: str = "auto",
     return_probs: bool = False,
+    seq_valid=None,
 ):
-    """Softmax attention over (batch, heads, seq, head_dim) inputs.
+    """Softmax attention over (b, h, n, d) inputs -> (b, h, n, d).
 
     Args:
-      q, k, v: (b, h, n, d) arrays (any float dtype; compute is fp32).
+      q, k, v: (batch, heads, seq, head_dim), any float dtype.
       scale: score scale, typically ``head_dim ** -0.5``.
       impl: 'auto' | 'xla' | 'flash'.
-      return_probs: also return the (b, h, n, n) attention probabilities
+      return_probs: also return (b, h, n, n) attention probabilities
         (the reference exposes them via an nn.Identity forward hook,
         vit.py:80-82,94). Forces the xla path.
-
-    Returns:
-      out: (b, h, n, d) float32, and optionally the attention probs.
     """
-    n = q.shape[-2]
     if impl == "auto":
-        impl = "flash" if (n >= _FLASH_MIN_SEQ and not return_probs) else "xla"
+        impl = "xla" if return_probs else "flash"
     if return_probs and impl != "xla":
         raise ValueError("attention probabilities require impl='xla'")
 
     if impl == "flash":
         from myrtle_vision_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, scale)
+        return flash_attention(q, k, v, scale, seq_valid)
 
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * jnp.float32(scale)
+    # fp32 inputs take HIGHEST matmul precision: that's the quant-parity
+    # path, where the reference computes the core in true fp32 (TPU fp32
+    # dots otherwise run bf16 MXU passes)
+    precision = (
+        jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    )
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+        precision=precision,
+    ) * jnp.float32(scale)
+    if seq_valid is not None and seq_valid < q.shape[2]:
+        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+        scores = jnp.where(col < seq_valid, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    ).astype(v.dtype)
     if return_probs:
         return out, probs
     return out
