@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from myrtle_vision_tpu.data.loader import DataLoader, prefetch_to_device
+from myrtle_vision_tpu.parallel.collectives import initialize_multihost
 from myrtle_vision_tpu.datasets.resisc45 import Resisc45
 from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
 from myrtle_vision_tpu.parallel.mesh import mesh_from_dist_config
@@ -49,6 +50,7 @@ from myrtle_vision_tpu.utils.config import (
     parse_config,
     seed_everything,
 )
+from myrtle_vision_tpu.utils.profiling import StepProfiler
 
 # platform override (the container sitecustomize pins the TPU plugin above
 # the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
@@ -87,7 +89,7 @@ def validation(predict_fn, state, val_loader, distill_eval=None):
         labels = jnp.asarray(batch["label"])
         logits = predict_fn(state.params, state.quant, images)
         if distill_eval is not None:
-            loss = distill_eval(state.params, state.quant, images, labels)
+            loss = distill_eval(images, labels)
         else:
             loss = cross_entropy_loss(logits, labels)
         acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
@@ -109,6 +111,9 @@ def train(config):
     seed = train_config["seed"]
 
     seed_everything(seed)
+    # multi-host (DCN) joins when MVT_COORDINATOR etc. are set; the same
+    # SPMD program then spans all hosts' devices
+    initialize_multihost()
 
     num_devices = len(jax.devices())
     if not train_config.get("distributed", True):
@@ -237,17 +242,17 @@ def train(config):
     )
     predict_fn = make_predict_fn(vit)
 
-    def distill_eval(params, quant, images, labels):
+    def distill_eval(images, labels):
+        """Validation loss through the distiller (reference train.py:41-44
+        uses the distillation loss for val when a distiller exists)."""
         teacher_logits = teacher_fn(images)
-        variables = {"params": params}
-        if quant:
-            variables["quant"] = quant
+        variables = {"params": state.params}
+        if state.quant:
+            variables["quant"] = state.quant
         loss, _ = distiller.apply(
             variables, images, labels, teacher_logits, deterministic=True
         )
         return loss
-
-    eval_student_params = None
 
     def reshape(batch):
         return {
@@ -266,6 +271,7 @@ def train(config):
     )
     last_val_loss, last_val_acc = 0.0, 0.0
     steps_per_epoch = len(train_loader)
+    profiler = StepProfiler()
 
     for epoch in range(epoch_offset, epochs):
         lr = lr_at_epoch(train_config, epoch)
@@ -289,19 +295,14 @@ def train(config):
                     eval_state,
                     val_loader,
                     distill_eval=(
-                        (
-                            lambda p, q, i, l: distill_eval(
-                                state.params, state.quant, i, l
-                            )
-                        )
-                        if distiller is not None
-                        else None
+                        distill_eval if distiller is not None else None
                     ),
                 )
 
             step_rng = jax.random.fold_in(rng, iteration)
             state, metrics = train_step(state, batch, lr, step_rng)
             iteration += 1
+            profiler.step(iteration)
             loss = float(metrics["loss"])
             acc = float(metrics["acc"])
             epoch_loss += loss / steps_per_epoch
@@ -316,6 +317,7 @@ def train(config):
             f"time: {time.time() - t_epoch:.1f}s\n"
         )
 
+    profiler.close()
     # final checkpoint
     save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
 

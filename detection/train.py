@@ -28,6 +28,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from myrtle_vision_tpu.data.loader import DataLoader
+from myrtle_vision_tpu.parallel.collectives import initialize_multihost
 from myrtle_vision_tpu.datasets.coco import CocoDetection
 from myrtle_vision_tpu.models.detector import build_weight_dict
 from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
@@ -54,6 +55,7 @@ from myrtle_vision_tpu.utils.config import (
     seed_everything,
 )
 from myrtle_vision_tpu.utils.logging import ScalarLogger
+from myrtle_vision_tpu.utils.profiling import StepProfiler
 
 # platform override (the container sitecustomize pins the TPU plugin above
 # the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
@@ -76,6 +78,7 @@ def train(config):
     output_directory = train_config["output_directory"]
     seed = train_config["seed"]
     seed_everything(seed)
+    initialize_multihost()
     writer = ScalarLogger("runs/")
 
     num_devices = len(jax.devices())
@@ -160,7 +163,6 @@ def train(config):
 
     weight_dict = build_weight_dict(train_config)
     sharding = state_shardings(state, mesh)
-    repl = NamedSharding(mesh, P())
     data_spec = NamedSharding(mesh, P(None, "data"))
     batch_shard = {
         "image": data_spec,
@@ -185,6 +187,7 @@ def train(config):
     )
 
     rng = jax.random.PRNGKey(seed)
+    profiler = StepProfiler()
     best_ap = -1.0
     epoch_offset = max(
         0, int(batch_size * n_data * iteration / max(len(trainset), 1))
@@ -209,6 +212,7 @@ def train(config):
                 state, step_in, lr, jax.random.fold_in(rng, iteration)
             )
             iteration += 1
+            profiler.step(iteration)
             loss = float(metrics["loss"])
             epoch_loss += loss / steps
             print(
@@ -235,6 +239,7 @@ def train(config):
                 state, f"{output_directory}/vit_best", extra={"ap": ap}
             )
 
+    profiler.close()
     save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
     writer.flush()
 

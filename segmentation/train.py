@@ -22,6 +22,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from myrtle_vision_tpu.data.loader import DataLoader, prefetch_to_device
+from myrtle_vision_tpu.parallel.collectives import initialize_multihost
 from myrtle_vision_tpu.datasets.dlrsd import Dlrsd
 from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
 from myrtle_vision_tpu.parallel.mesh import mesh_from_dist_config
@@ -46,6 +47,7 @@ from myrtle_vision_tpu.utils.config import (
     seed_everything,
 )
 from myrtle_vision_tpu.utils.logging import ScalarLogger
+from myrtle_vision_tpu.utils.profiling import StepProfiler
 from myrtle_vision_tpu.utils.metrics import MIoU
 
 # platform override (the container sitecustomize pins the TPU plugin above
@@ -96,6 +98,7 @@ def train(config):
     seed = train_config["seed"]
 
     seed_everything(seed)
+    initialize_multihost()
     writer = ScalarLogger("runs/")
 
     num_devices = len(jax.devices())
@@ -201,6 +204,7 @@ def train(config):
     )
     last_val_loss, last_val_acc = 0.0, 0.0
     steps_per_epoch = len(train_loader)
+    profiler = StepProfiler()
 
     for epoch in range(epoch_offset, epochs):
         lr = lr_at_epoch(train_config, epoch)
@@ -223,6 +227,7 @@ def train(config):
                 state, batch, lr, jax.random.fold_in(rng, iteration)
             )
             iteration += 1
+            profiler.step(iteration)
             loss, acc = float(metrics["loss"]), float(metrics["acc"])
             epoch_loss += loss / steps_per_epoch
             epoch_acc += acc / steps_per_epoch
@@ -236,6 +241,7 @@ def train(config):
             f"time: {time.time() - t_epoch:.1f}s\n"
         )
 
+    profiler.close()
     save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
     writer.flush()
 

@@ -151,6 +151,33 @@ class TestEndToEnd:
         )
         test_mod.test_deit(config)
 
+    def test_qat_fp16_and_int8_with_quantized_eval(
+        self, synthetic_resisc, tmp_path
+    ):
+        """BASELINE config 3: QAT training with the format active, then
+        test_quantize --quantized_ckpt (reference test_quantize.py flow)."""
+        root, _ = synthetic_resisc
+        from conftest import load_script_module
+
+        for fmt in ("FP16_16", "PyTorchINT8"):
+            config = make_config(root, tmp_path, q_format=fmt)
+            config["train_config"]["epochs"] = 1
+            config["train_config"]["output_directory"] = str(
+                tmp_path / f"qat_{fmt}"
+            )
+            train_mod = _load_train_module()
+            train_mod.train(config)
+            out_dir = config["train_config"]["output_directory"]
+            ckpt = sorted(os.listdir(out_dir))[-1]
+            config["train_config"]["checkpoint_path"] = os.path.join(
+                out_dir, ckpt
+            )
+            tq = load_script_module(
+                os.path.join(REPO, "classification", "test_quantize.py"),
+                f"cls_tq_script_{fmt}",
+            )
+            tq.test_deit(config, calib_steps=1, quantized_ckpt=True)
+
     def test_resume_from_checkpoint(self, synthetic_resisc, tmp_path):
         root, _ = synthetic_resisc
         config = make_config(root, tmp_path)
