@@ -35,6 +35,10 @@ import jax
 import jax.numpy as jnp
 
 from myrtle_vision_tpu.ops.attention import multi_head_attention
+from myrtle_vision_tpu.ops.fused_attention_block import (
+    fused_attention_block,
+)
+from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
 from myrtle_vision_tpu.ops.interpolate import resize_bicubic, resize_bilinear
 from myrtle_vision_tpu.quantize import ActQuant, QFormat, quantize_weight
 
@@ -61,73 +65,82 @@ def _torch_linear_bias_init(fan_in):
 class QDense(nn.Module):
     """Linear layer with the reference's quantization sites attached:
     a pre-activation fake-quant stub, weight fake-quant, and the module's
-    activation post-process (reference quantize.py:121-143, 215-220)."""
+    activation post-process (reference quantize.py:121-143, 215-220).
+
+    Setup-style with explicit ``in_features`` so parents can read
+    ``.kernel``/``.bias`` directly for fused Pallas kernels."""
 
     features: int
+    in_features: int
     q_format: QFormat
     converted: bool = False
     use_bias: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, calibrating: bool = False):
-        x = ActQuant(self.q_format, "pre_linear", name="act_in")(
-            x, calibrating
-        )
-        in_features = x.shape[-1]
-        kernel = self.param(
+    def setup(self):
+        self.kernel = self.param(
             "kernel",
             _torch_linear_kernel_init,
-            (in_features, self.features),
+            (self.in_features, self.features),
             jnp.float32,
         )
+        if self.use_bias:
+            self.bias = self.param(
+                "bias",
+                _torch_linear_bias_init(self.in_features),
+                (self.features,),
+                jnp.float32,
+            )
+        self.act_in = ActQuant(self.q_format, "pre_linear", name="act_in")
+        self.act_out = ActQuant(self.q_format, "post_op", name="act_out")
+
+    def __call__(self, x, calibrating: bool = False):
+        x = self.act_in(x, calibrating)
         kernel = quantize_weight(
-            kernel, self.q_format, "linear", self.converted
+            self.kernel, self.q_format, "linear", self.converted
         )
         y = jnp.dot(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
-            preferred_element_type=self.dtype,
-        )
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
         if self.use_bias:
-            bias = self.param(
-                "bias",
-                _torch_linear_bias_init(in_features),
-                (self.features,),
-                jnp.float32,
-            )
-            y = y + bias.astype(self.dtype)
-        return ActQuant(self.q_format, "post_op", name="act_out")(
-            y, calibrating
-        )
+            y = y + self.bias.astype(self.dtype)
+        return self.act_out(y, calibrating)
 
 
 class QLayerNorm(nn.Module):
     """LayerNorm with pre-activation stub and post-op observer; the weight is
     fake-quantized only after convert() (torch has no qat.LayerNorm —
-    reference quantize.py:146-166)."""
+    reference quantize.py:146-166).  Setup-style so parents can read
+    ``.scale_p``/``.bias_p`` for fused kernels."""
 
+    dim: int
     q_format: QFormat
     converted: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, calibrating: bool = False):
-        x = ActQuant(self.q_format, "pre_linear", name="act_in")(
-            x, calibrating
+    def setup(self):
+        self.scale_p = self.param(
+            "scale", nn.initializers.ones, (self.dim,), jnp.float32
         )
-        dim = x.shape[-1]
-        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        scale = quantize_weight(scale, self.q_format, "norm", self.converted)
+        self.bias_p = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        self.act_in = ActQuant(self.q_format, "pre_linear", name="act_in")
+        self.act_out = ActQuant(self.q_format, "post_op", name="act_out")
+
+    def __call__(self, x, calibrating: bool = False):
+        x = self.act_in(x, calibrating)
+        scale = quantize_weight(
+            self.scale_p, self.q_format, "norm", self.converted
+        )
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + 1e-5)  # torch eps=1e-5
-        y = (y * scale + bias).astype(self.dtype)
-        return ActQuant(self.q_format, "post_op", name="act_out")(
-            y, calibrating
-        )
+        y = (y * scale + self.bias_p).astype(self.dtype)
+        return self.act_out(y, calibrating)
 
 
 class QGelu(nn.Module):
@@ -156,19 +169,24 @@ class FeedForward(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.fc1 = QDense(
+            self.hidden_dim, self.dim, self.q_format, self.converted,
+            dtype=self.dtype, name="fc1",
+        )
+        self.gelu = QGelu(self.q_format, name="gelu")
+        self.fc2 = QDense(
+            self.dim, self.hidden_dim, self.q_format, self.converted,
+            dtype=self.dtype, name="fc2",
+        )
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, deterministic: bool = True, calibrating=False):
-        x = QDense(
-            self.hidden_dim, self.q_format, self.converted, dtype=self.dtype,
-            name="fc1",
-        )(x, calibrating)
-        x = QGelu(self.q_format, name="gelu")(x, calibrating)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = QDense(
-            self.dim, self.q_format, self.converted, dtype=self.dtype,
-            name="fc2",
-        )(x, calibrating)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = self.fc1(x, calibrating)
+        x = self.gelu(x, calibrating)
+        x = self.drop(x, deterministic=deterministic)
+        x = self.fc2(x, calibrating)
+        return self.drop(x, deterministic=deterministic)
 
 
 class Attention(nn.Module):
@@ -188,7 +206,40 @@ class Attention(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        inner_dim = self.dim_head * self.heads
+        assert inner_dim == self.dim, (
+            "attention inner dim must equal model dim (all reference configs "
+            "satisfy heads * 64 == embed_dim)"
+        )
+        self.to_qkv = QDense(
+            inner_dim * 3, self.dim, self.q_format, self.converted,
+            dtype=self.dtype, name="to_qkv",
+        )
+        self.quant_out = ActQuant(self.q_format, "stub", name="quant_out")
+        self.to_out = QDense(
+            self.dim, inner_dim, self.q_format, self.converted,
+            dtype=self.dtype, name="to_out",
+        )
+        self.drop = nn.Dropout(self.dropout)
+
+    # raw params for the fused block kernel
+    @property
+    def to_qkv_kernel(self):
+        return self.to_qkv.kernel
+
+    @property
+    def to_qkv_bias(self):
+        return self.to_qkv.bias
+
+    @property
+    def to_out_kernel(self):
+        return self.to_out.kernel
+
+    @property
+    def to_out_bias(self):
+        return self.to_out.bias
+
     def __call__(
         self,
         x,
@@ -198,17 +249,9 @@ class Attention(nn.Module):
         seq_valid=None,
     ):
         b, n, c = x.shape
-        inner_dim = self.dim_head * self.heads
-        assert inner_dim == c, (
-            "attention inner dim must equal model dim (all reference configs "
-            "satisfy heads * 64 == embed_dim)"
-        )
         scale = self.dim_head ** -0.5
 
-        qkv = QDense(
-            inner_dim * 3, self.q_format, self.converted, dtype=self.dtype,
-            name="to_qkv",
-        )(x, calibrating)
+        qkv = self.to_qkv(x, calibrating)
         # dequant boundary (reference vit.py:78,86): the core's softmax and
         # accumulations run fp32; under a quantized format the whole core
         # is fp32 (self.dtype is already float32 then)
@@ -235,14 +278,9 @@ class Attention(nn.Module):
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(self.dtype)
         # requant boundary before the output projection (vit.py:79,97)
-        out = ActQuant(self.q_format, "stub", name="quant_out")(
-            out, calibrating
-        )
-        out = QDense(
-            self.dim, self.q_format, self.converted, dtype=self.dtype,
-            name="to_out",
-        )(out, calibrating)
-        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        out = self.quant_out(out, calibrating)
+        out = self.to_out(out, calibrating)
+        return self.drop(out, deterministic=deterministic)
 
 
 class ResidualAdd(nn.Module):
@@ -273,7 +311,38 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
 
-    @nn.compact
+    def setup(self):
+        self.attn_norm = QLayerNorm(
+            self.dim, self.q_format, self.converted, dtype=self.dtype,
+            name="attn_norm",
+        )
+        self.attn = Attention(
+            self.dim,
+            self.heads,
+            self.dim_head,
+            self.dropout,
+            self.q_format,
+            self.converted,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            name="attn",
+        )
+        self.attn_res = ResidualAdd(self.q_format, name="attn_res")
+        self.ffn_norm = QLayerNorm(
+            self.dim, self.q_format, self.converted, dtype=self.dtype,
+            name="ffn_norm",
+        )
+        self.ffn = FeedForward(
+            self.dim,
+            self.mlp_dim,
+            self.q_format,
+            self.converted,
+            self.dropout,
+            dtype=self.dtype,
+            name="ffn",
+        )
+        self.ffn_res = ResidualAdd(self.q_format, name="ffn_res")
+
     def __call__(
         self,
         x,
@@ -282,38 +351,54 @@ class Block(nn.Module):
         capture_attention: bool = False,
         seq_valid=None,
     ):
+        # FP32 fast path: each block half is one Pallas kernel
+        # (ops/fused_attention_block.py, ops/fused_mlp.py); quant formats,
+        # attention capture, active dropout and padded sequences keep the
+        # discrete-site composition
+        fuse = (
+            self.q_format == QFormat.FP32
+            and not capture_attention
+            and seq_valid is None
+            and (self.dropout == 0.0 or deterministic)
+        )
         with jax.named_scope("transformer:attention"):
-            y = QLayerNorm(
-                self.q_format, self.converted, dtype=self.dtype,
-                name="attn_norm",
-            )(x, calibrating)
-            y = Attention(
-                self.dim,
-                self.heads,
-                self.dim_head,
-                self.dropout,
-                self.q_format,
-                self.converted,
-                dtype=self.dtype,
-                attn_impl=self.attn_impl,
-                name="attn",
-            )(y, deterministic, calibrating, capture_attention, seq_valid)
-            x = ResidualAdd(self.q_format, name="attn_res")(y, x, calibrating)
+            if fuse:
+                x = fused_attention_block(
+                    x.astype(self.dtype),
+                    self.attn_norm.scale_p,
+                    self.attn_norm.bias_p,
+                    self.attn.to_qkv_kernel,
+                    self.attn.to_qkv_bias,
+                    self.attn.to_out_kernel,
+                    self.attn.to_out_bias,
+                    self.heads,
+                    self.dim_head ** -0.5,
+                )
+            else:
+                y = self.attn_norm(x, calibrating)
+                y = self.attn(
+                    y, deterministic, calibrating, capture_attention,
+                    seq_valid,
+                )
+                x = self.attn_res(y, x, calibrating)
         with jax.named_scope("transformer:feedforward"):
-            y = QLayerNorm(
-                self.q_format, self.converted, dtype=self.dtype,
-                name="ffn_norm",
-            )(x, calibrating)
-            y = FeedForward(
-                self.dim,
-                self.mlp_dim,
-                self.q_format,
-                self.converted,
-                self.dropout,
-                dtype=self.dtype,
-                name="ffn",
-            )(y, deterministic, calibrating)
-            x = ResidualAdd(self.q_format, name="ffn_res")(y, x, calibrating)
+            # FP32 fast path: one Pallas kernel for
+            # LN -> fc1 -> GELU -> fc2 -> +residual (ops/fused_mlp.py);
+            # quant formats / active dropout keep the discrete sites
+            if fuse:
+                x = fused_mlp_block(
+                    x.astype(self.dtype),
+                    self.ffn_norm.scale_p,
+                    self.ffn_norm.bias_p,
+                    self.ffn.fc1.kernel,
+                    self.ffn.fc1.bias,
+                    self.ffn.fc2.kernel,
+                    self.ffn.fc2.bias,
+                )
+            else:
+                y = self.ffn_norm(x, calibrating)
+                y = self.ffn(y, deterministic, calibrating)
+                x = self.ffn_res(y, x, calibrating)
         return x
 
 
@@ -369,11 +454,12 @@ class ClassificationDecoder(nn.Module):
     def __call__(self, x, calibrating: bool = False):
         x = x[:, 0]
         x = QLayerNorm(
-            self.q_format, self.converted, dtype=self.dtype, name="norm"
+            self.dim, self.q_format, self.converted, dtype=self.dtype,
+            name="norm",
         )(x, calibrating)
         return QDense(
-            self.num_classes, self.q_format, self.converted, dtype=self.dtype,
-            name="linear",
+            self.num_classes, self.dim, self.q_format, self.converted,
+            dtype=self.dtype, name="linear",
         )(x, calibrating)
 
 
@@ -395,11 +481,12 @@ class SegmentationDecoder(nn.Module):
     def __call__(self, x, calibrating: bool = False):
         x = x[:, 1:]
         x = QLayerNorm(
-            self.q_format, self.converted, dtype=self.dtype, name="norm"
+            self.dim, self.q_format, self.converted, dtype=self.dtype,
+            name="norm",
         )(x, calibrating)
         x = QDense(
-            self.num_classes, self.q_format, self.converted, dtype=self.dtype,
-            name="linear",
+            self.num_classes, self.dim, self.q_format, self.converted,
+            dtype=self.dtype, name="linear",
         )(x, calibrating)
         b, hw, c = x.shape
         grid = self.image_size // self.patch_size
@@ -426,13 +513,14 @@ class DetectionDecoder(nn.Module):
         x = x[:, -self.num_det_tokens :, :]
         logits = QDense(
             self.num_classes + 1,
+            self.dim,
             self.q_format,
             self.converted,
             dtype=self.dtype,
             name="class_embed",
         )(x, calibrating)
         boxes = QDense(
-            4, self.q_format, self.converted, dtype=self.dtype,
+            4, self.dim, self.q_format, self.converted, dtype=self.dtype,
             name="bbox_embed",
         )(x, calibrating)
         return {
@@ -535,12 +623,12 @@ class ViT(nn.Module):
         )
         self.patch_to_embedding = QDense(
             self.dim,
+            patch_dim,
             self.q_format,
             self.converted,
             dtype=compute_dtype,
             name="patch_to_embedding",
         )
-        del patch_dim
         self.transformer = Transformer(
             self.dim,
             self.depth,
