@@ -18,8 +18,6 @@ with KL reduced batchmean-style (sum over classes, mean over batch).
 """
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -93,3 +91,20 @@ class DistillWrapper(nn.Module):
             student_logits, distill_logits, teacher_logits, labels, T, a
         )
         return loss, student_logits
+
+
+class DistillableViT(ViT):
+    """API-parity alias for the reference's DistillableViT
+    (reference distill.py:11-27): the standard ViT already accepts a
+    ``distill_token`` in its forward and returns (logits, token embedding),
+    and the parameter tree is identical to plain ViT — so "converting back"
+    to a ViT (the reference's ``to_vit`` state-dict copy) is just using the
+    same params with a ViT instance."""
+
+    def to_vit(self) -> ViT:
+        kwargs = {
+            f.name: getattr(self, f.name)
+            for f in self.__dataclass_fields__.values()
+            if f.name not in ("parent", "name")
+        }
+        return ViT(**kwargs)

@@ -20,8 +20,6 @@ The LSAP solve itself uses the native C++ Jonker-Volgenant solver
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

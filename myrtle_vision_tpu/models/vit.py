@@ -28,7 +28,7 @@ reference's quantizer rewires modules in-place; we don't need to).
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -20,8 +20,6 @@ sites and stays on the unfused implementation.
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

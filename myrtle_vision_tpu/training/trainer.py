@@ -18,7 +18,6 @@ State is donated so params/opt-state update in place in HBM.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax
