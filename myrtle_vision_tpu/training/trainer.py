@@ -96,7 +96,7 @@ def make_train_step(
     where batch leaves are [n_accum, local_batch, ...].
     """
 
-    def step(state: TrainState, batch, lr, rng):
+    def step(state: TrainState, batch, lr, rng, axis_name=None):
         opt_state = set_learning_rate(state.opt_state, lr)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
@@ -104,6 +104,10 @@ def make_train_step(
         def micro(carry, mb):
             grads, metrics_sum, quant = carry
             mrng = jax.random.fold_in(rng, mb["_accum_index"])
+            if axis_name is not None:
+                mrng = jax.random.fold_in(
+                    mrng, jax.lax.axis_index(axis_name)
+                )
             (loss, aux), g = grad_fn(state.params, quant, mb, mrng)
             if "quant" in aux:
                 quant = aux["quant"]
@@ -142,6 +146,23 @@ def make_train_step(
             lambda m: m / n_accum, metrics_sum
         )
 
+        if axis_name is not None:
+            # the DDP all-reduce, explicit under shard_map: grads and
+            # metrics average over the data axis; INT8 observer min/max
+            # reduce with pmin/pmax
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+
+            def reduce_quant(path, leaf):
+                name = str(getattr(path[-1], "key", ""))
+                if name == "min":
+                    return jax.lax.pmin(leaf, axis_name)
+                if name == "max":
+                    return jax.lax.pmax(leaf, axis_name)
+                return leaf
+
+            quant = jax.tree_util.tree_map_with_path(reduce_quant, quant)
+
         updates, opt_state = tx.update(grads, opt_state, state.params)
         params = jax.tree_util.tree_map(
             lambda p, u: (p + u).astype(p.dtype),
@@ -159,6 +180,44 @@ def make_train_step(
     if mesh is None:
         return jax.jit(step, donate_argnums=(0,))
 
+    n_tp = mesh.devices.shape[1]
+    if n_tp == 1:
+        # Pure data parallel: run the step under shard_map so the Pallas
+        # block kernels execute on LOCAL batch shards.  (Under plain GSPMD
+        # jit, XLA cannot partition an opaque custom call and all-gathers
+        # the full batch onto every device — correct but redundant.)
+        import functools
+
+        spec_of = lambda s: jax.tree_util.tree_map(  # noqa: E731
+            lambda ns: ns.spec, s
+        )
+        sharded = jax.shard_map(
+            functools.partial(step, axis_name="data"),
+            mesh=mesh,
+            in_specs=(
+                spec_of(state_sharding),
+                spec_of(batch_sharding),
+                P(),
+                P(),
+            ),
+            out_specs=(spec_of(state_sharding), P()),
+            check_vma=False,
+        )
+        return jax.jit(
+            sharded,
+            in_shardings=(
+                state_sharding,
+                batch_sharding,
+                NamedSharding(mesh, P()),
+                NamedSharding(mesh, P()),
+            ),
+            out_shardings=(state_sharding, NamedSharding(mesh, P())),
+            donate_argnums=(0,),
+        )
+
+    # tensor parallel: GSPMD partitions the matmuls across the model axis
+    # (the Pallas fast path is bypassed per-op via gathers; TP shines with
+    # the unfused path / larger models)
     return jax.jit(
         step,
         in_shardings=(
