@@ -37,6 +37,8 @@ from myrtle_vision_tpu.training.detection import (
     evaluate_coco,
     make_detect_fn,
     make_loss_fn,
+    make_match_fn,
+    use_split_matching,
 )
 from myrtle_vision_tpu.training.optim import create_optimizer, lr_at_epoch
 from myrtle_vision_tpu.training.trainer import (
@@ -170,6 +172,10 @@ def train(config):
         "boxes": data_spec,
         "valid": data_spec,
     }
+    split_match = use_split_matching()
+    if split_match:
+        batch_shard["src_idx"] = data_spec
+        match_fn = make_match_fn(vit)
     train_step = make_train_step(
         make_loss_fn(
             vit, n_classes, weight_dict, train_config["eos_coef"]
@@ -207,6 +213,10 @@ def train(config):
                 )
                 for k in ("image", "labels", "boxes", "valid")
             }
+            if split_match:
+                # separate matcher program (see training/detection.py:
+                # make_match_fn for why)
+                step_in["src_idx"] = match_fn(state, step_in)
             step_in = jax.device_put(step_in, batch_shard)
             state, metrics = train_step(
                 state, step_in, lr, jax.random.fold_in(rng, iteration)

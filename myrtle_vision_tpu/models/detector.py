@@ -37,6 +37,7 @@ def criterion(
     cost_class: float = 1.0,
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
+    src_idx=None,
 ):
     """Compute the DETR loss dict.
 
@@ -59,10 +60,12 @@ def criterion(
     B, Q, _ = pred_logits.shape
     M = labels.shape[1]
 
-    src_idx = hungarian_match(
-        pred_logits, pred_boxes, labels, boxes, valid,
-        cost_class=cost_class, cost_bbox=cost_bbox, cost_giou=cost_giou,
-    )
+    if src_idx is None:
+        src_idx = hungarian_match(
+            pred_logits, pred_boxes, labels, boxes, valid,
+            cost_class=cost_class, cost_bbox=cost_bbox,
+            cost_giou=cost_giou,
+        )
 
     # global box count (psum over the data axis is implicit under jit),
     # clamped to 1 (reference detector.py:133-138)

@@ -15,8 +15,12 @@ target lists would recompile every step).  The result is, per target slot
 ``tgt_valid[b, m]``) — equivalent information to the reference's
 (index_i, index_j) tuples.
 
-The LSAP solve itself uses the native C++ Jonker-Volgenant solver
-(native/lsap.cpp) when built, falling back to scipy.
+The LSAP solve has three interchangeable exact backends:
+  - on-device jittable Hungarian (ops/lsap_device.py) — the accelerator
+    default: no host sync, works on PJRT plugins without callback support;
+  - native C++ Jonker-Volgenant (native/lsap.cpp) via pure_callback;
+  - scipy via pure_callback (fallback).
+Select with MVT_MATCHER=host|device (default: auto).
 """
 from __future__ import annotations
 
@@ -30,6 +34,23 @@ from myrtle_vision_tpu.ops.boxes import (
 )
 
 _BIG = 1e8
+
+
+def _use_device_matcher() -> bool:
+    """Matching backend: MVT_MATCHER=host|device overrides; default is the
+    on-device exact Hungarian (ops/lsap_device.py) on accelerators — no
+    host sync, and some PJRT plugins (this container's tunneled TPU
+    included) don't support host callbacks at all — and the host
+    scipy/C++ solver on CPU (bit-parity with the reference's scipy path).
+    """
+    import os
+
+    choice = os.environ.get("MVT_MATCHER", "auto")
+    if choice == "host":
+        return False
+    if choice == "device":
+        return True
+    return jax.default_backend() != "cpu"
 
 
 def _solve_lsap(cost: np.ndarray) -> tuple:
@@ -107,8 +128,13 @@ def hungarian_match(
     # NaN/inf guard (degenerate boxes) so LSAP stays solvable
     cost = jnp.nan_to_num(cost, nan=_BIG, posinf=_BIG, neginf=-_BIG)
 
-    n_valid = jnp.sum(tgt_valid.astype(jnp.int32), axis=-1)
     B, _, M = cost.shape
+    if _use_device_matcher():
+        from myrtle_vision_tpu.ops.lsap_device import batched_target_match
+
+        return batched_target_match(cost)
+
+    n_valid = jnp.sum(tgt_valid.astype(jnp.int32), axis=-1)
     src_idx = jax.pure_callback(
         _match_host,
         jax.ShapeDtypeStruct((B, M), jnp.int32),

@@ -1,0 +1,127 @@
+"""Exact linear-sum-assignment ON DEVICE (jittable Hungarian algorithm).
+
+The reference solves DETR's bipartite matching on the host with scipy
+(reference: src/myrtle_vision/models/matcher.py:83-87), which this
+framework mirrors via ``jax.pure_callback`` + the native C++ solver.  Some
+PJRT plugins (including this container's tunneled TPU) do not support host
+callbacks, and a host round-trip costs a device sync either way — so this
+module implements the same shortest-augmenting-path Hungarian algorithm
+(Jonker-Volgenant style, identical to native/lsap.cpp) entirely in
+``lax`` control flow: exact optimum, vmappable over the batch, no host
+involvement.
+
+Problem shape: cost (R, C) with R <= C (rows = targets, columns =
+queries); returns for each row the assigned column.  The row loop is
+sequential (``lax.fori_loop``) with O(C)-vectorized dual updates — at
+DETR sizes (<=100x100) this is microseconds of VPU work.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e30)
+
+
+def lsap_device(cost: jax.Array) -> jax.Array:
+    """Solve one LSAP exactly; cost (R, C) float, R <= C.
+    Returns col_of_row (R,) int32."""
+    R, C = cost.shape
+    assert R <= C, "lsap_device requires rows <= cols"
+    cost = cost.astype(jnp.float32)
+
+    # 1-based potentials/bookkeeping over columns; index 0 is the sentinel.
+    # p[j] = row assigned to column j (0 = none); stored 1-based.
+    def assign_row(i1, carry):
+        u, v, p = carry  # u (R+1,), v (C+1,), p (C+1,) int32
+        minv = jnp.full((C + 1,), _INF)
+        used = jnp.zeros((C + 1,), bool).at[0].set(True)
+        way = jnp.zeros((C + 1,), jnp.int32)
+        p = p.at[0].set(i1)
+
+        # Fixed-bound loops (instead of lax.while_loop): the augmenting
+        # search visits at most C columns and the path has at most C edges,
+        # so iterating exactly C times with masked no-ops after convergence
+        # is equivalent.  (Static trip counts also sidestep a re-execution
+        # bug with data-dependent loops in this container's TPU runtime.)
+        def scan_body(_, state):
+            minv, used, way, u, v, j0, p_in, done = state
+            done_now = done | (p_in[j0] == 0)
+            i0 = p_in[j0]
+            # relax all unused columns against row i0
+            cur = cost[i0 - 1, :] - u[i0] - v[1:]
+            better = (~used[1:]) & (cur < minv[1:]) & ~done_now
+            minv = minv.at[1:].set(jnp.where(better, cur, minv[1:]))
+            way = way.at[1:].set(jnp.where(better, j0, way[1:]))
+            # pick the unused column with the smallest minv
+            masked = jnp.where(used[1:], _INF, minv[1:])
+            j1 = jnp.argmin(masked).astype(jnp.int32) + 1
+            delta = masked[j1 - 1]
+            # update potentials
+            u_new = u.at[p_in].add(jnp.where(used, delta, 0.0))
+            v_new = jnp.where(used, v - delta, v)
+            minv_new = minv.at[1:].set(
+                jnp.where(used[1:], minv[1:], minv[1:] - delta)
+            )
+            used_new = used.at[j1].set(True)
+            # apply updates only while the search is still running
+            u = jnp.where(done_now, u, u_new)
+            v = jnp.where(done_now, v, v_new)
+            minv = jnp.where(done_now, minv, minv_new)
+            used = jnp.where(done_now, used, used_new)
+            j0 = jnp.where(done_now, j0, j1)
+            return minv, used, way, u, v, j0, p_in, done_now
+
+        init = (minv, used, way, u, v, jnp.int32(0), p, jnp.bool_(False))
+        minv, used, way, u, v, j0, p, _ = jax.lax.fori_loop(
+            0, C + 1, scan_body, init
+        )
+
+        # augment along the alternating path (at most C edges)
+        def aug_body(_, state):
+            j0, p_in = state
+            stop = j0 == 0
+            j1 = way[j0]
+            p_new = p_in.at[j0].set(p_in[j1])
+            p_in = jnp.where(stop, p_in, p_new)
+            j0 = jnp.where(stop, j0, j1)
+            return j0, p_in
+
+        _, p = jax.lax.fori_loop(0, C + 1, aug_body, (j0, p))
+        return u, v, p
+
+    u = jnp.zeros((R + 1,), jnp.float32)
+    v = jnp.zeros((C + 1,), jnp.float32)
+    p = jnp.zeros((C + 1,), jnp.int32)
+    u, v, p = jax.lax.fori_loop(1, R + 1, assign_row, (u, v, p))
+
+    # p[j] = row at column j (1-based); invert to col_of_row
+    col_of_row = jnp.zeros((R,), jnp.int32)
+    cols = jnp.arange(1, C + 1, dtype=jnp.int32)
+    # scatter: for each column j with p[j] = i, col_of_row[i-1] = j-1
+    valid = p[1:] > 0
+    col_of_row = col_of_row.at[
+        jnp.where(valid, p[1:] - 1, R)  # invalid -> dropped
+    ].set(cols - 1, mode="drop")
+    return col_of_row
+
+
+@jax.jit
+def batched_target_match(cost_bqm):
+    """DETR matching on device: cost (B, Q, M) with Q queries (columns) and
+    M padded target slots (rows); invalid target slots must carry a large
+    constant cost (the matcher masks them upstream).
+
+    Returns src_idx (B, M) int32 — the query assigned to each target slot
+    (meaningful where valid).  Exact optimum for the valid sub-problem:
+    invalid rows have constant cost so they absorb leftover columns
+    without affecting valid assignments.
+    """
+    # rows = targets (M <= Q), columns = queries.  The batch dim is
+    # unrolled instead of vmapped: vmap-of-fori LSAP programs trigger a
+    # re-execution fault in this container's TPU runtime, and detection
+    # batches are small (the graph grows by B tiny solver instances).
+    cost_bmq = jnp.swapaxes(cost_bqm, 1, 2).astype(jnp.float32)
+    return jnp.stack(
+        [lsap_device(cost_bmq[i]) for i in range(cost_bmq.shape[0])]
+    )

@@ -42,6 +42,7 @@ def make_loss_fn(model, num_classes, weight_dict, eos_coef):
             num_classes=num_classes,
             weight_dict=weight_dict,
             eos_coef=eos_coef,
+            src_idx=batch.get("src_idx"),
         )
         loss = losses.pop("loss")
         aux = {"metrics": losses}
@@ -92,3 +93,65 @@ def evaluate_coco(detect_fn, state, loader, coco_index, epoch=0):
     evaluator.accumulate()
     evaluator.summarize()
     return evaluator
+
+
+def make_match_fn(model):
+    """Split-step matching: a standalone jitted program that runs the
+    forward (no grad) and the Hungarian assignment for every micro-batch,
+    returning src_idx [n_accum, B, M].
+
+    Why split: this container's TPU runtime faults when re-executing a
+    single program that combines the transformer, the loop-based matcher
+    and the gradient computation; the three pieces re-execute fine as
+    separate programs (forward-only / matcher-only / grad-with-indices).
+    Costs one extra forward — only used when MVT_DETECTION_MATCH=split or
+    on the affected backend (detection/train.py decides).
+    """
+    from myrtle_vision_tpu.models.matcher import hungarian_match
+
+    @jax.jit
+    def forward(params, quant, images_acc):
+        variables = {"params": params}
+        if quant:
+            variables["quant"] = quant
+
+        def micro(_, images):
+            out = model.apply(variables, images, deterministic=True)
+            return 0, (out["pred_logits"], out["pred_boxes"])
+
+        _, (logits, boxes) = jax.lax.scan(micro, 0, images_acc)
+        return logits, boxes
+
+    @jax.jit
+    def match(logits_acc, boxes_acc, labels_acc, tboxes_acc, valid_acc):
+        def micro(_, args):
+            logits, boxes, labels, tboxes, valid = args
+            src = hungarian_match(logits, boxes, labels, tboxes, valid)
+            return 0, src
+
+        _, src = jax.lax.scan(
+            micro, 0,
+            (logits_acc, boxes_acc, labels_acc, tboxes_acc, valid_acc),
+        )
+        return src
+
+    def compute_src_idx(state, batch):
+        logits, boxes = forward(state.params, state.quant, batch["image"])
+        return match(
+            logits, boxes, batch["labels"], batch["boxes"], batch["valid"]
+        )
+
+    return compute_src_idx
+
+
+def use_split_matching() -> bool:
+    """MVT_DETECTION_MATCH=fused|split overrides; default: split on the
+    affected (axon) backend, fused single-program elsewhere."""
+    import os
+
+    choice = os.environ.get("MVT_DETECTION_MATCH", "auto")
+    if choice == "fused":
+        return False
+    if choice == "split":
+        return True
+    return jax.default_backend() == "axon"

@@ -228,3 +228,50 @@ class TestPostProcess:
         assert int(np.asarray(out["labels"])[0, 0]) == 1
         # the no-object query still reports its best REAL class with low score
         assert float(np.asarray(out["scores"])[0, 1]) < 0.1
+
+
+class TestDeviceMatcher:
+    """On-device exact Hungarian (ops/lsap_device.py) vs scipy."""
+
+    def test_random_instances_optimal(self):
+        from scipy.optimize import linear_sum_assignment
+
+        from myrtle_vision_tpu.ops.lsap_device import lsap_device
+
+        rng = np.random.RandomState(7)
+        for _ in range(30):
+            r = rng.randint(1, 15)
+            c = rng.randint(r, 20)
+            C = rng.randn(r, c).astype(np.float32) * 10
+            ours = np.asarray(lsap_device(jnp.array(C)))
+            rows, cols = linear_sum_assignment(C)
+            assert C[np.arange(r), ours].sum() == pytest.approx(
+                C[rows, cols].sum(), abs=1e-3
+            )
+
+    def test_hungarian_match_device_backend(self, monkeypatch):
+        """hungarian_match with MVT_MATCHER=device must agree with the host
+        backend on valid slots (padded slots masked upstream)."""
+        import os
+
+        rng = np.random.RandomState(8)
+        B, Q, M, C = 2, 12, 12, 4
+        logits = jnp.asarray(rng.randn(B, Q, C + 1), jnp.float32)
+        pboxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, Q, 4)), jnp.float32)
+        tlabels = jnp.asarray(rng.randint(0, C, (B, M)), jnp.int32)
+        tboxes = jnp.asarray(rng.uniform(0.2, 0.8, (B, M, 4)), jnp.float32)
+        valid = np.zeros((B, M), bool)
+        valid[0, :5] = True
+        valid[1, :9] = True
+        valid = jnp.asarray(valid)
+
+        monkeypatch.setenv("MVT_MATCHER", "host")
+        host = np.asarray(
+            hungarian_match(logits, pboxes, tlabels, tboxes, valid)
+        )
+        monkeypatch.setenv("MVT_MATCHER", "device")
+        dev = np.asarray(
+            hungarian_match(logits, pboxes, tlabels, tboxes, valid)
+        )
+        mask = np.asarray(valid)
+        np.testing.assert_array_equal(host[mask], dev[mask])

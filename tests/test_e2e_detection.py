@@ -167,3 +167,11 @@ def test_train_and_eval(synthetic_coco, tmp_path):
         os.path.join(REPO, "detection", "test.py"), "det_test_script"
     )
     det_test.test_detection(config)
+
+
+def test_split_matching_path(synthetic_coco, tmp_path, monkeypatch):
+    """MVT_DETECTION_MATCH=split: separate forward/matcher programs feed
+    precomputed src_idx into the grad step (the workaround for TPU
+    runtimes without re-executable fused matcher programs)."""
+    monkeypatch.setenv("MVT_DETECTION_MATCH", "split")
+    test_train_and_eval(synthetic_coco, tmp_path)
