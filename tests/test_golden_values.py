@@ -1,0 +1,65 @@
+"""Golden-value regression tests: fixed-seed forward outputs pinned across
+framework versions so unintended numeric drift in the model/quantization
+stack is caught immediately (SURVEY §4 test strategy: golden-value tests of
+the ViT forward against fixed-seed fixtures)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrtle_vision_tpu.models.vit import ViT
+from myrtle_vision_tpu.quantize import QFormat
+
+
+def run(decoder, fmt=QFormat.FP32):
+    model = ViT(
+        decoder=decoder, image_size=80, patch_size=16, num_classes=4,
+        dim=32, depth=2, heads=2, mlp_dim=64, dim_head=16,
+        num_det_tokens=6, q_format=fmt, dtype=jnp.float32,
+    )
+    img = jnp.asarray(
+        np.linspace(-1, 1, 80 * 80 * 3).reshape(1, 80, 80, 3), jnp.float32
+    )
+    variables = model.init(jax.random.PRNGKey(42), img)
+    return model.apply(variables, img)
+
+
+def test_classification_golden():
+    out = np.asarray(run("classification"))[0]
+    np.testing.assert_allclose(
+        out,
+        [0.371944, -0.020225, -0.688682, -0.164325],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_segmentation_golden():
+    out = np.asarray(run("segmentation"))[0, 0, 0]
+    np.testing.assert_allclose(
+        out,
+        [-0.624739, 0.381710, 0.116185, -0.191523],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_detection_golden():
+    out = run("detection")
+    np.testing.assert_allclose(
+        np.asarray(out["pred_logits"])[0, 0],
+        [0.286494, -1.229578, 0.965496, 1.539992, 0.408089],
+        rtol=2e-4, atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pred_boxes"])[0, 0],
+        [0.445994, 0.693822, 0.376870, 0.430476],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_fp16_16_golden():
+    out = np.asarray(run("classification", QFormat.FP16_16))[0]
+    np.testing.assert_allclose(
+        out,
+        [0.371826, -0.020508, -0.688477, -0.163818],
+        rtol=2e-4, atol=2e-4,
+    )
