@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint to the reference torch state-dict format.
+
+The reference's torch checkpoints are its FPGA deployment handoff format
+(reference: classification/README.md:31-33); this CLI converts a
+framework checkpoint (``train_config.checkpoint_path``) into a .pth with
+the reference's exact module naming, loadable by the reference stack /
+FPGA toolchain:
+
+    python export_checkpoint.py -c <config.json> --output model.pth
+
+Works for any of the three decoders (use the matching task config).
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
+from myrtle_vision_tpu.training.optim import create_optimizer
+from myrtle_vision_tpu.training.trainer import init_train_state
+from myrtle_vision_tpu.utils.checkpoint import prepare_model_and_load_ckpt
+from myrtle_vision_tpu.utils.config import parse_config
+from myrtle_vision_tpu.utils.export import save_torch_checkpoint
+
+# platform override (the container sitecustomize pins the TPU plugin above
+# the JAX_PLATFORMS env var; MVT_PLATFORM=cpu forces host execution)
+if os.environ.get("MVT_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["MVT_PLATFORM"])
+
+
+def export(config, output):
+    train_config = config["train_config"]
+    data_config = parse_config(config["data_config_path"])
+    vit = ViT(**vit_kwargs_from_config(config, data_config))
+
+    assert (
+        train_config["checkpoint_path"] != ""
+    ), "Must provide a checkpoint path in the config file"
+    tx = create_optimizer(train_config)
+    state = init_train_state(
+        vit, tx, jax.random.PRNGKey(0),
+        jnp.zeros((1, vit.image_size, vit.image_size, 3)),
+    )
+    state, _ = prepare_model_and_load_ckpt(
+        train_config, state, restore_optimizer=False
+    )
+    save_torch_checkpoint(state.params, vit.decoder, output)
+    print(f"exported {train_config['checkpoint_path']} -> {output} "
+          f"(reference torch format, decoder={vit.decoder})")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-c", "--config", type=str, help="JSON file for configuration"
+    )
+    parser.add_argument("--output", type=str, required=True)
+    args = parser.parse_args()
+
+    with open(args.config) as f:
+        config = json.loads(f.read())
+    export(config, args.output)
