@@ -144,13 +144,47 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w3_ref, bq_ref, wp_ref,
                 do_ref, dx_ref, ds_ref, db_ref, dw3_ref, dbq_ref,
-                dwp_ref, dbp_ref, *, scale, heads):
+                dwp_ref, dbp_ref, *, scale, heads, group):
+    """Backward for a GROUP of images per grid step.
+
+    Weight/bias/norm grads for the whole group are summed into local
+    values first and hit the fp32 VMEM accumulator outputs ONCE per grid
+    step — grouping divides the ~2.4MB accumulator read-modify-write
+    traffic (and the grid/pipeline overhead) by ``group``."""
     i = pl.program_id(0)
-    x = x_ref[0]
-    do = do_ref[0].astype(jnp.float32)
     scale_ln = s_ref[...].astype(jnp.float32)
     bias_ln = b_ref[...].astype(jnp.float32)
 
+    acc = None
+    for j in range(group):
+        grads = _bwd_one_image(
+            x_ref[j], do_ref[j].astype(jnp.float32), scale_ln, bias_ln,
+            w3_ref, bq_ref, wp_ref, dx_ref, j, scale=scale,
+        )
+        acc = grads if acc is None else tuple(
+            a + g for a, g in zip(acc, grads)
+        )
+    dscale, dbias, dw3, dbq, dwp, dbp = acc
+
+    @pl.when(i == 0)
+    def _init():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        dbq_ref[...] = jnp.zeros_like(dbq_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    ds_ref[...] += dscale
+    db_ref[...] += dbias
+    dw3_ref[...] += dw3
+    dbq_ref[...] += dbq
+    dwp_ref[...] += dwp
+    dbp_ref[...] += dbp
+
+
+def _bwd_one_image(x, do, scale_ln, bias_ln, w3_ref, bq_ref, wp_ref,
+                   dx_ref, j, *, scale):
     # ---- recompute forward ----
     ln_out, xhat, rstd = _ln_f32(x, scale_ln, bias_ln)
     xn = ln_out.astype(x.dtype)
@@ -230,23 +264,11 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w3_ref, bq_ref, wp_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
-    dx_ref[0] = (do + dx_ln).astype(dx_ref.dtype)
-
-    @pl.when(i == 0)
-    def _init():
-        ds_ref[...] = jnp.zeros_like(ds_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-        dw3_ref[...] = jnp.zeros_like(dw3_ref)
-        dbq_ref[...] = jnp.zeros_like(dbq_ref)
-        dwp_ref[...] = jnp.zeros_like(dwp_ref)
-        dbp_ref[...] = jnp.zeros_like(dbp_ref)
-
-    ds_ref[...] += dscale
-    db_ref[...] += dbias
-    dw3_ref[...] += dw3
-    dbq_ref[...] += jnp.sum(dqkv, axis=-1)  # (3, H, D)
-    dwp_ref[...] += dwp
-    dbp_ref[...] += jnp.sum(do, axis=0)
+    dx_ref[j] = (do + dx_ln).astype(dx_ref.dtype)
+    return (
+        dscale, dbias, dw3, jnp.sum(dqkv, axis=-1), dwp,
+        jnp.sum(do, axis=0),
+    )
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -269,13 +291,30 @@ def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
     return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp)
 
 
+def _bwd_group(b: int) -> int:
+    """Images per backward grid step (MVT_ATTN_BWD_GROUP overrides).
+
+    Default 2: measured on v5e at ViT-S/16 batch 256, g=2 gives
+    2884 img/s vs 2740 at g=1 (the accumulator RMW amortization wins)
+    while g=8 regresses to 2736 (the unrolled loop's ~2MB/image stack
+    crowds out block double-buffering)."""
+    import os
+
+    env = os.environ.get("MVT_ATTN_BWD_GROUP")
+    if env:
+        g = int(env)
+        return g if b % g == 0 else 1
+    return 2 if b % 2 == 0 else 1
+
+
 def _bwd_rule(heads, scale, res, do):
     x, scale_ln, bias_ln, wqkv, bqkv, wp = res
     b, n, c = x.shape
     d = c // heads
+    g = _bwd_group(b)
     w3, bq3, wp3 = _prep_weights(wqkv, bqkv, wp, heads, x.dtype)
 
-    row = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+    row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -283,8 +322,10 @@ def _bwd_rule(heads, scale, res, do):
     )
     f32 = jnp.float32
     dx, dscale, dbias, dw3, dbq3, dwp3, dbp = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, heads=heads),
-        grid=(b,),
+        functools.partial(
+            _bwd_kernel, scale=scale, heads=heads, group=g
+        ),
+        grid=(b // g,),
         in_specs=[
             row, vec_c, vec_c,
             rep((3, heads, c, d)), rep((3, heads, d)), rep((heads, d, c)),
@@ -303,6 +344,12 @@ def _bwd_rule(heads, scale, res, do):
             jax.ShapeDtypeStruct((3, heads, d), f32),
             jax.ShapeDtypeStruct((heads, d, c), f32),
             jax.ShapeDtypeStruct((c,), f32),
+        ),
+        # the grouped kernel's unrolled loop keeps ~2MB/image of stack
+        # live past the 16MB default scoped-vmem limit; v5e has 128MB
+        # VMEM so raise the per-kernel ceiling instead of shrinking g
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
     )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype), w3,

@@ -79,3 +79,27 @@ def test_bf16_runs():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=0.1, atol=0.1
     )
+
+
+@pytest.mark.parametrize("batch,group", [(8, 8), (8, 2), (6, 2)])
+def test_grouped_backward_matches_reference(batch, group, monkeypatch):
+    """Multi-image backward programs (images grouped per grid step to
+    amortize the weight-grad accumulator read-modify-write)."""
+    monkeypatch.setenv("MVT_ATTN_BWD_GROUP", str(group))
+    rng = np.random.RandomState(7)
+    args = list(make_inputs(4))
+    args[0] = jnp.asarray(rng.randn(batch, N, C) * 0.5, jnp.float32)
+    g = jnp.asarray(rng.randn(batch, N, C), jnp.float32)
+
+    def f_fused(*a):
+        return jnp.vdot(fused_attention_block(*a, H, SCALE), g)
+
+    def f_ref(*a):
+        return jnp.vdot(reference(*a), g)
+
+    grads_fused = jax.grad(f_fused, argnums=tuple(range(7)))(*args)
+    grads_ref = jax.grad(f_ref, argnums=tuple(range(7)))(*args)
+    for a, b in zip(grads_fused, grads_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
+        )
