@@ -145,6 +145,19 @@ class RandomResize:
         return resize(img, target, size, self.max_size)
 
 
+class RandomCrop:
+    """Fixed-size random crop (reference detection.py:261-267)."""
+
+    def __init__(self, size):
+        self.size = size
+
+    def __call__(self, img, target, rng):
+        ch, cw = self.size
+        top = int(rng.integers(0, max(img.height - ch, 0) + 1))
+        left = int(rng.integers(0, max(img.width - cw, 0) + 1))
+        return crop(img, target, (top, left, ch, cw))
+
+
 class RandomSizeCrop:
     def __init__(self, min_size: int, max_size: int):
         self.min_size = min_size
@@ -204,6 +217,40 @@ class ToArray:
             np.asarray(img.convert("RGB"), np.float32) / 255.0,
             target,
         )
+
+
+class RandomErasing:
+    """Erase a random rectangle of the (HWC float) image with probability
+    ``p`` — torchvision RandomErasing semantics (reference
+    detection.py:346-352 wraps T.RandomErasing); boxes untouched.  Apply
+    after ToArray."""
+
+    def __init__(self, p=0.5, scale=(0.02, 0.33), ratio=(0.3, 3.3),
+                 value=0.0):
+        self.p = p
+        self.scale = scale
+        self.ratio = ratio
+        self.value = value
+
+    def __call__(self, image, target, rng):
+        if rng.random() >= self.p:
+            return image, target
+        h, w = image.shape[0], image.shape[1]
+        area = h * w
+        for _ in range(10):
+            erase_area = area * rng.uniform(*self.scale)
+            log_r = rng.uniform(np.log(self.ratio[0]),
+                                np.log(self.ratio[1]))
+            aspect = np.exp(log_r)
+            eh = int(round(np.sqrt(erase_area * aspect)))
+            ew = int(round(np.sqrt(erase_area / aspect)))
+            if eh < h and ew < w:
+                top = int(rng.integers(0, h - eh + 1))
+                left = int(rng.integers(0, w - ew + 1))
+                image = image.copy()
+                image[top : top + eh, left : left + ew] = self.value
+                break
+        return image, target
 
 
 class Normalize:

@@ -4,6 +4,10 @@
 Reference parity: ``python test.py -c <config.json>``
 (reference: segmentation/test.py:79-88 prints overall mIoU and per-class
 IoU using the class names from the label map).
+
+``--visualize_dir DIR [--visualize_n N]`` additionally writes the first N
+predictions as RGB PNGs colorized with the DLRSD palette (reference
+utils/colors.py).
 """
 import argparse
 import json
@@ -36,7 +40,7 @@ jax.config.update(
 )
 
 
-def test_seg(config):
+def test_seg(config, visualize_dir=None, visualize_n=8):
     train_config = config["train_config"]
     data_config = parse_config(config["data_config_path"])
     n_classes = data_config["number_of_classes"]
@@ -72,12 +76,29 @@ def test_seg(config):
 
     predict_fn = make_predict_fn(vit)
     miou = MIoU(num_classes=n_classes)
+    n_written = 0
     for batch in test_loader.epoch(0):
         logits = predict_fn(
             state.params, state.quant, jnp.asarray(batch["image"])
         )
         preds = np.asarray(jnp.argmax(logits, -1))
         miou.add_batch(preds, batch["label"])
+        if visualize_dir is not None and n_written < visualize_n:
+            from PIL import Image
+
+            from myrtle_vision_tpu.utils.colors import colorize_mask
+
+            os.makedirs(visualize_dir, exist_ok=True)
+            for pred, label in zip(preds, batch["label"]):
+                if n_written >= visualize_n:
+                    break
+                Image.fromarray(colorize_mask(pred)).save(
+                    os.path.join(visualize_dir, f"pred_{n_written}.png")
+                )
+                Image.fromarray(colorize_mask(label)).save(
+                    os.path.join(visualize_dir, f"label_{n_written}.png")
+                )
+                n_written += 1
 
     label_list = get_label_list(
         data_config["dataset_path"], data_config["label_map"]
@@ -93,9 +114,14 @@ if __name__ == "__main__":
     parser.add_argument(
         "-c", "--config", type=str, help="JSON file for configuration"
     )
+    parser.add_argument(
+        "--visualize_dir", type=str, default=None,
+        help="write colorized prediction/label PNGs here",
+    )
+    parser.add_argument("--visualize_n", type=int, default=8)
     args = parser.parse_args()
 
     with open(args.config) as f:
         config = json.loads(f.read())
 
-    test_seg(config)
+    test_seg(config, args.visualize_dir, args.visualize_n)

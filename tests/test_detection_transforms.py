@@ -155,3 +155,40 @@ class TestCollate:
         assert batch["labels"].shape == (2, 5)
         assert batch["valid"].sum() == 3
         assert batch["size"][0].tolist() == [80, 100]
+
+
+class TestAuxTransforms:
+    def test_random_crop_fixed_size(self):
+        img, target = make_sample(100, 80)
+        rng = np.random.default_rng(0)
+        out, t = T.RandomCrop((48, 64))(img, target, rng)
+        assert out.size == (64, 48)
+        assert tuple(t["size"]) == (48, 64)
+
+    def test_random_erasing_erases_region(self):
+        img = np.ones((64, 64, 3), np.float32)
+        rng = np.random.default_rng(0)
+        out, _ = T.RandomErasing(p=1.0, value=0.0)(img, {"x": 1}, rng)
+        assert (out == 0).any() and (out == 1).any()
+        # p=0 leaves the image untouched
+        out2, _ = T.RandomErasing(p=0.0)(img, None, rng)
+        assert (out2 == 1).all()
+
+
+def test_dlrsd_palette():
+    from myrtle_vision_tpu.utils.colors import (
+        colorize_mask,
+        dlrsd_colors,
+        palette,
+    )
+
+    colors = dlrsd_colors()
+    assert len(colors) == 17
+    assert colors["airplane"] == [166, 202, 240]
+    assert colors["water"] == [0, 255, 255]
+    pal = palette()
+    assert pal.shape == (17, 3) and pal.dtype == np.uint8
+    rgb = colorize_mask(np.array([[0, 16], [3, 3]]))
+    assert rgb.shape == (2, 2, 3)
+    assert tuple(rgb[0, 0]) == (166, 202, 240)
+    assert tuple(rgb[1, 0]) == (255, 0, 0)  # cars
