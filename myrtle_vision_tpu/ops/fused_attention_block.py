@@ -80,26 +80,27 @@ def _attention_core(q, k, v, scale):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w3_ref, bq_ref, wp_ref, bp_ref,
-                o_ref, *, scale, heads):
-    x = x_ref[0]  # (N, C)
-    ln_out, _, _ = _ln_f32(
-        x, s_ref[...].astype(jnp.float32), b_ref[...].astype(jnp.float32)
-    )
-    xn = ln_out.astype(x.dtype)
-    qkv = _qkv_heads(xn, w3_ref[...])  # (3, H, D, N) fp32
-    # qkv bias: bq (3, H, D) broadcast over N
-    qkv = qkv + bq_ref[...][..., None].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    o, _ = _attention_core(q, k, v, scale)
-    # projection: per-head partial products summed over heads
-    y = jax.lax.dot_general(
-        o.astype(x.dtype), wp_ref[...],
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (H, N, C)
-    y = jnp.sum(y, axis=0) + bp_ref[...].astype(jnp.float32)
-    o_ref[0] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
+                o_ref, *, scale, heads, group):
+    scale_ln = s_ref[...].astype(jnp.float32)
+    bias_ln = b_ref[...].astype(jnp.float32)
+    for j in range(group):
+        x = x_ref[j]  # (N, C)
+        ln_out, _, _ = _ln_f32(x, scale_ln, bias_ln)
+        xn = ln_out.astype(x.dtype)
+        qkv = _qkv_heads(xn, w3_ref[...])  # (3, H, D, N) fp32
+        # qkv bias: bq (3, H, D) broadcast over N
+        qkv = qkv + bq_ref[...][..., None].astype(jnp.float32)
+        qkv = qkv.astype(x.dtype)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        o, _ = _attention_core(q, k, v, scale)
+        # projection: per-head partial products summed over heads
+        y = jax.lax.dot_general(
+            o.astype(x.dtype), wp_ref[...],
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (H, N, C)
+        y = jnp.sum(y, axis=0) + bp_ref[...].astype(jnp.float32)
+        o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
 def _prep_weights(wqkv, bqkv, wp, heads, dtype):
@@ -111,17 +112,39 @@ def _prep_weights(wqkv, bqkv, wp, heads, dtype):
     return w3, bq3, wp3
 
 
+def _fwd_group(b: int) -> int:
+    """Images per forward grid step (MVT_ATTN_FWD_GROUP overrides).
+
+    Default 8: measured on v5e at ViT-S/16 batch 512 — infer img/s
+    9439 (g=1) / 9583 (g=4) / 9808 (g=8) / 9317 (g=16); train follows
+    the same shape.  The forward holds no accumulators so larger groups
+    are cheap until block size crowds the pipeline (g=16)."""
+    import os
+
+    env = os.environ.get("MVT_ATTN_FWD_GROUP")
+    if env:
+        g = int(env)
+        return g if b % g == 0 else 1
+    for g in (8, 4, 2):
+        if b % g == 0:
+            return g
+    return 1
+
+
 def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
     b, n, c = x.shape
     d = c // heads
+    g = _fwd_group(b)
     w3, bq3, wp3 = _prep_weights(wqkv, bqkv, wp, heads, x.dtype)
 
-    row = pl.BlockSpec((1, n, c), lambda i: (i, 0, 0),
+    row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, heads=heads),
-        grid=(b,),
+        functools.partial(
+            _fwd_kernel, scale=scale, heads=heads, group=g
+        ),
+        grid=(b // g,),
         in_specs=[
             row,
             vec_c,
@@ -136,6 +159,9 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
         ],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype), w3,
       bq3.astype(jnp.float32), wp3, bp.astype(x.dtype))
