@@ -184,11 +184,14 @@ def _row_specs(rb, d, hidden):
 
 
 def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
+    import os
+
     orig_shape = x.shape
     d = orig_shape[-1]
     hidden = w1.shape[-1]
-    x2, rows = _pad_rows(x.reshape(-1, d), _ROW_BLOCK)
-    rb = min(_ROW_BLOCK, x2.shape[0])
+    block = int(os.environ.get("MVT_MLP_FWD_ROWS", _ROW_BLOCK))
+    x2, rows = _pad_rows(x.reshape(-1, d), block)
+    rb = min(block, x2.shape[0])
     row, vec_d, vec_h, w1s, w2s = _row_specs(rb, d, hidden)
     wd = x.dtype
     out = pl.pallas_call(
@@ -197,6 +200,9 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d],
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         interpret=_interpret(),
     )(x2, scale.astype(wd), bias.astype(wd), w1.astype(wd),
       b1.astype(wd), w2.astype(wd), b2.astype(wd))
