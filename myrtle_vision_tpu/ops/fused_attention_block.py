@@ -243,11 +243,10 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w3_ref, bq_ref, wp_ref,
         preferred_element_type=jnp.float32,
     )  # (H, D, Nk)
     dp = jax.lax.dot_general(
-        v, d_o.astype(x.dtype),
+        d_o.astype(x.dtype), v,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # v (H,D,Nk) x d_o (H,D,Nq) -> (H, Nk, Nq): transpose of dp!
-    dp = jnp.swapaxes(dp, 1, 2)  # -> (H, Nq, Nk)
+    )  # d_o (H,D,Nq) x v (H,D,Nk) contract D -> (H, Nq, Nk) directly
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (H,Nq,Nk)
     dsb = ds.astype(x.dtype)
     # s = q^T k scaled (q (H,D,Nq)): dq (H, D, Nq) = k @ ds^T * scale
@@ -275,12 +274,11 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w3_ref, bq_ref, wp_ref,
     w3_flat = w3_ref[...].reshape(gh, *w3_ref.shape[2:])
     dqkv_flat = dqkvb.reshape(gh, *dqkvb.shape[2:])
     dxn = jax.lax.dot_general(
-        w3_flat, dqkv_flat,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        dqkv_flat, w3_flat,
+        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-    )  # (3H, C, N)
-    dxn = jnp.sum(dxn, axis=0)  # (C, N)
-    dxn = jnp.swapaxes(dxn, 0, 1)  # (N, C)
+    )  # dqkv (3H,D,N) x w3 (3H,C,D) contract D -> (3H, N, C) directly
+    dxn = jnp.sum(dxn, axis=0)  # (N, C)
 
     # ---- LayerNorm backward ----
     dscale = jnp.sum(dxn * xhat, axis=0)
@@ -320,17 +318,21 @@ def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
 def _bwd_group(b: int) -> int:
     """Images per backward grid step (MVT_ATTN_BWD_GROUP overrides).
 
-    Default 2: measured on v5e at ViT-S/16 batch 256, g=2 gives
-    2884 img/s vs 2740 at g=1 (the accumulator RMW amortization wins)
-    while g=8 regresses to 2736 (the unrolled loop's ~2MB/image stack
-    crowds out block double-buffering)."""
+    Default 4: measured on v5e at ViT-S/16 batch 512 after the
+    transpose-free contraction rework — train img/s 3081 (g=2) /
+    3143 (g=4) / 2972 (g=8); the accumulator RMW amortization wins
+    until the unrolled loop's ~2MB/image stack crowds out block
+    double-buffering."""
     import os
 
     env = os.environ.get("MVT_ATTN_BWD_GROUP")
     if env:
         g = int(env)
         return g if b % g == 0 else 1
-    return 2 if b % 2 == 0 else 1
+    for g in (4, 2):
+        if b % g == 0:
+            return g
+    return 1
 
 
 def _bwd_rule(heads, scale, res, do):
