@@ -262,12 +262,12 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w3_ref, bq_ref, wp_ref,
     dqkv = jnp.stack([dq, dk, dv])  # (3, H, D, N) fp32
     # qkv = w3 (3,H,C,D) contract C with xn (N,C) -> (3,H,D,N)
     dqkvb = dqkv.astype(x.dtype)
-    # dw3 (3,H,C,D): xn (N,C) x dqkv (3,H,D,N) contract N
+    # dw3 accumulated in (3,H,D,C) — the natural output of this dot;
+    # the (C, 3C) un-reshape outside the kernel handles the layout
     dw3 = jax.lax.dot_general(
         dqkvb, xn, dimension_numbers=(((3,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (3, H, D, C) -> want (3,H,C,D)
-    dw3 = jnp.swapaxes(dw3, 2, 3)
+    )  # (3, H, D, C)
     # dxn (N, C) = sum over 3,H of w3 (3,H,C,D) x dqkv (3,H,D,N)
     # (Mosaic supports at most ONE batch dim: fold (3,H) into one)
     gh = dqkvb.shape[0] * dqkvb.shape[1]
@@ -361,14 +361,14 @@ def _bwd_rule(heads, scale, res, do):
         ],
         out_specs=(
             row, vec_c, vec_c,
-            rep((3, heads, c, d)), rep((3, heads, d)), rep((heads, d, c)),
+            rep((3, heads, d, c)), rep((3, heads, d)), rep((heads, d, c)),
             vec_c,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((c,), f32),
             jax.ShapeDtypeStruct((c,), f32),
-            jax.ShapeDtypeStruct((3, heads, c, d), f32),
+            jax.ShapeDtypeStruct((3, heads, d, c), f32),
             jax.ShapeDtypeStruct((3, heads, d), f32),
             jax.ShapeDtypeStruct((heads, d, c), f32),
             jax.ShapeDtypeStruct((c,), f32),
@@ -384,7 +384,8 @@ def _bwd_rule(heads, scale, res, do):
       bq3.astype(f32), wp3, do.astype(x.dtype))
 
     # un-reshape weight grads back to the (C, 3C) / (3C,) / (C, C) layouts
-    dwqkv = dw3.transpose(2, 0, 1, 3).reshape(c, 3 * c)
+    # (dw3 arrives as (3, H, D, C) — the kernel's transpose-free layout)
+    dwqkv = dw3.transpose(3, 0, 1, 2).reshape(c, 3 * c)
     dbqkv = dbq3.reshape(3 * c)
     dwp = dwp3.reshape(c, c)
     return (
