@@ -9,7 +9,7 @@ CLI does the same with JAX compute, operating directly on a torch-layout
 state dict so the output .pth loads anywhere a torchvision checkpoint does:
 
   - initial weights: an ImageNet .pth if provided (--init_weights), else
-    He-init random (models/resnet.py:random_state_dict);
+    He-init random (models/cnn.py:random_any_state_dict);
   - the classifier head is re-shaped to the dataset's class count;
   - finetuning recipe: SGD momentum 0.9, frozen batch-norm statistics
     (gamma/beta trainable) — the standard torchvision finetuning setup;
@@ -32,10 +32,7 @@ import optax
 
 from myrtle_vision_tpu.data.loader import DataLoader
 from myrtle_vision_tpu.datasets.resisc45 import Resisc45
-from myrtle_vision_tpu.models.resnet import (
-    random_state_dict,
-    resnet_apply_torch_sd,
-)
+from myrtle_vision_tpu.models.cnn import apply_any_torch_sd
 from myrtle_vision_tpu.training.optim import cross_entropy_loss
 from myrtle_vision_tpu.utils.config import parse_config, seed_everything
 
@@ -50,6 +47,8 @@ jax.config.update(
 
 
 def load_initial_sd(model_name, num_classes, init_weights):
+    from myrtle_vision_tpu.models.cnn import head_keys, random_any_state_dict
+
     if init_weights:
         import torch
 
@@ -57,13 +56,18 @@ def load_initial_sd(model_name, num_classes, init_weights):
         sd = {k: v.numpy() for k, v in sd.items()}
         # reshape the classifier head for this dataset
         rng = np.random.RandomState(0)
-        in_features = sd["fc.weight"].shape[1]
-        sd["fc.weight"] = (
-            rng.randn(num_classes, in_features) * in_features ** -0.5
+        wk, bk, conv_head = head_keys(model_name)
+        in_features = sd[wk].shape[1]
+        shape = (
+            (num_classes, in_features, 1, 1) if conv_head
+            else (num_classes, in_features)
+        )
+        sd[wk] = (
+            rng.randn(*shape) * in_features ** -0.5
         ).astype(np.float32)
-        sd["fc.bias"] = np.zeros(num_classes, np.float32)
+        sd[bk] = np.zeros(num_classes, np.float32)
         return sd
-    return random_state_dict(model_name, num_classes)
+    return random_any_state_dict(model_name, num_classes)
 
 
 def is_trainable(key):
@@ -121,7 +125,7 @@ def finetune(model_name, data_config_path, epochs, batch_size, lr,
         def loss_fn(p):
             # train-mode BN: batch statistics + EMA running-stat updates
             # (torch model.train() finetuning semantics)
-            logits, new_stats = resnet_apply_torch_sd(
+            logits, new_stats = apply_any_torch_sd(
                 p, images, model_name, train=True
             )
             return cross_entropy_loss(logits, labels), new_stats
@@ -136,7 +140,7 @@ def finetune(model_name, data_config_path, epochs, batch_size, lr,
 
     @jax.jit
     def eval_step(params, images):
-        return resnet_apply_torch_sd(params, images, model_name)
+        return apply_any_torch_sd(params, images, model_name)
 
     for epoch in range(epochs):
         epoch_loss, steps = 0.0, 0
@@ -162,7 +166,10 @@ def finetune(model_name, data_config_path, epochs, batch_size, lr,
 
     import torch
 
-    out_sd = {k: torch.from_numpy(np.asarray(v)) for k, v in params.items()}
+    out_sd = {
+        k: torch.from_numpy(np.array(v, copy=True))
+        for k, v in params.items()
+    }
     torch.save(out_sd, output)
     print(f"saved finetuned weights to {output}")
 

@@ -5,8 +5,10 @@ Reference parity (reference: classification/test_cnn.py): evaluates a
 finetuned torchvision CNN checkpoint on the RESISC45 val/test split and
 prints a classification report.  The reference instantiates torchvision
 models; here the networks run as pure JAX functions over the imported
-torch state dict (models/resnet.py) — resnet18 / resnet50 are supported
-(the formats the distillation teacher uses; reference utils/models.py:14-22).
+torch state dict (models/resnet.py + models/cnn.py) — the notebook's full
+zoo is supported: resnet18/resnet50, squeezenet1_0/1_1, mobilenet_v2,
+mnasnet1_0, shufflenet_v2_x1_0 (reference utils/models.py:14-22,
+Finetune_CNN_Resisc45.ipynb).
 
 Usage: python test_cnn.py --model resnet50 --cnn_weights weights.pth
        [--use_val_set]
@@ -25,7 +27,7 @@ import numpy as np
 
 from myrtle_vision_tpu.data.loader import DataLoader
 from myrtle_vision_tpu.datasets.resisc45 import Resisc45
-from myrtle_vision_tpu.models.resnet import load_torch_resnet, resnet_apply
+from myrtle_vision_tpu.models.cnn import ALL_CNN_ARCHS, apply_any_torch_sd
 from myrtle_vision_tpu.utils.config import get_label_list, parse_config
 
 from test import classification_report  # noqa: E402
@@ -39,7 +41,7 @@ jax.config.update(
     f"/tmp/jax_cache_{os.environ.get('MVT_PLATFORM', 'tpu')}",
 )
 
-SUPPORTED = ("resnet18", "resnet50")
+SUPPORTED = ALL_CNN_ARCHS
 
 
 def test_cnn(model_name, cnn_weights, use_val_set=False,
@@ -65,11 +67,19 @@ def test_cnn(model_name, cnn_weights, use_val_set=False,
     )
     eval_loader = DataLoader(evalset, batch_size=32, drop_last=False)
 
-    params = load_torch_resnet(cnn_weights, model_name)
+    import torch
+
+    sd = torch.load(cnn_weights, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params = {
+        k: jnp.asarray(np.asarray(v)) for k, v in sd.items()
+        if not k.endswith("num_batches_tracked")
+    }
 
     @jax.jit
     def forward(images):
-        return resnet_apply(params, images, arch=model_name)
+        return apply_any_torch_sd(params, images, model_name)
 
     gts, preds = [], []
     for batch in eval_loader.epoch(0):
