@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from myrtle_vision_tpu.ops.attention import multi_head_attention
 from myrtle_vision_tpu.ops.fused_attention_block import (
     fused_attention_block,
+    fuses_at,
 )
 from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
 from myrtle_vision_tpu.ops.interpolate import resize_bicubic, resize_bilinear
@@ -353,13 +354,16 @@ class Block(nn.Module):
     ):
         # FP32 fast path: each block half is one Pallas kernel
         # (ops/fused_attention_block.py, ops/fused_mlp.py); quant formats,
-        # attention capture, active dropout and padded sequences keep the
-        # discrete-site composition
+        # attention capture, active dropout, padded sequences and
+        # sequences too long for one image's attention working set to fit
+        # in VMEM (detection eval at large scales) keep the discrete-site
+        # composition, whose attention routes to the flash kernels
         fuse = (
             self.q_format == QFormat.FP32
             and not capture_attention
             and seq_valid is None
             and (self.dropout == 0.0 or deterministic)
+            and fuses_at(x.shape[1], self.heads, self.dim_head)
         )
         with jax.named_scope("transformer:attention"):
             if fuse:

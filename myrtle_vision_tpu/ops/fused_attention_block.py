@@ -131,10 +131,35 @@ def _fwd_group(b: int) -> int:
     return 1
 
 
+def _per_image_stack_bytes(n: int, heads: int, d: int) -> int:
+    """Rough per-image VMEM stack estimate for one unrolled kernel
+    iteration: ~3 fp32 copies of the (H, N, N) score/prob tensors plus
+    the fp32 qkv intermediates (Mosaic does not reuse stack across
+    unrolled iterations)."""
+    return 3 * heads * n * n * 4 + 2 * 3 * heads * d * n * 4
+
+
+def fuses_at(n: int, heads: int, d: int) -> bool:
+    """Whether the fused block kernels can hold one image's attention
+    working set under the per-kernel VMEM ceiling; longer sequences
+    (e.g. detection eval at 800px -> ~2600 tokens) take the unfused
+    path, which routes to the flash-attention kernels."""
+    return _per_image_stack_bytes(n, heads, d) <= 40 * 1024 * 1024
+
+
+def _cap_group(g: int, b: int, n: int, heads: int, d: int) -> int:
+    """Shrink the image group so the unrolled loop's total live stack
+    stays under the VMEM ceiling (long sequences force smaller groups)."""
+    per_image = _per_image_stack_bytes(n, heads, d)
+    while g > 1 and (g * per_image > 40 * 1024 * 1024 or b % g):
+        g //= 2
+    return max(g, 1)
+
+
 def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
     b, n, c = x.shape
     d = c // heads
-    g = _fwd_group(b)
+    g = _cap_group(_fwd_group(b), b, n, heads, d)
     w3, bq3, wp3 = _prep_weights(wqkv, bqkv, wp, heads, x.dtype)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
@@ -339,7 +364,7 @@ def _bwd_rule(heads, scale, res, do):
     x, scale_ln, bias_ln, wqkv, bqkv, wp = res
     b, n, c = x.shape
     d = c // heads
-    g = _bwd_group(b)
+    g = _cap_group(_bwd_group(b), b, n, heads, d)
     w3, bq3, wp3 = _prep_weights(wqkv, bqkv, wp, heads, x.dtype)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
