@@ -103,3 +103,20 @@ def test_grouped_backward_matches_reference(batch, group, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4
         )
+
+
+def test_vmem_gate_and_group_caps():
+    """Long sequences must not fuse (detection at 800px eval) and group
+    sizes must shrink with sequence length to respect the VMEM ceiling."""
+    from myrtle_vision_tpu.ops.fused_attention_block import (
+        _cap_group,
+        fuses_at,
+    )
+
+    assert fuses_at(197, 6, 64)       # ViT-S/16 @ 224
+    assert fuses_at(297, 6, 64)       # detection train tokens @ 224
+    assert not fuses_at(2601, 6, 64)  # detection eval @ 800
+    assert _cap_group(8, 512, 197, 6, 64) == 8
+    assert _cap_group(8, 512, 297, 6, 64) == 4   # larger seq -> smaller g
+    assert _cap_group(8, 512, 2601, 6, 64) == 1
+    assert _cap_group(8, 6, 197, 6, 64) == 2     # divisibility respected
