@@ -1,7 +1,6 @@
 """Detection transform DSL tests (reference transforms/detection.py:
 functional ops semantics + from_config interpretation)."""
 import numpy as np
-import pytest
 from PIL import Image
 
 from myrtle_vision_tpu.transforms import detection as T

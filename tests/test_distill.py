@@ -3,7 +3,6 @@ training through the classification CLI (reference models/distill.py +
 utils/models.py:14-22)."""
 import json
 import os
-import sys
 
 import jax
 import jax.numpy as jnp
@@ -46,20 +45,6 @@ class TestResNet:
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
         )
-
-    def test_resnet50_against_torch(self):
-        """Numerical parity of the whole network vs torchvision-style
-        execution in torch (conv/bn/pool semantics)."""
-        torch = pytest.importorskip("torch")
-        try:
-            import torchvision  # noqa: F401
-
-            has_tv = True
-        except ImportError:
-            has_tv = False
-        if not has_tv:
-            pytest.skip("torchvision unavailable in this image")
-
 
 class TestDistillWrapper:
     def test_loss_composition(self):
@@ -149,8 +134,6 @@ class TestDistillE2E:
         torch.save({k: torch.from_numpy(np.asarray(v))
                     for k, v in sd.items()}, weights_path)
 
-        # synthetic dataset (reuse the classification fixture's layout)
-        import test_e2e_classification as cls_mod
 
         root = tmp_path / "resisc"
         from PIL import Image

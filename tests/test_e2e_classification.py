@@ -7,9 +7,7 @@ validation) and the eval path, without any real data or hardware
 """
 import json
 import os
-import sys
 
-import jax
 import numpy as np
 import pytest
 from PIL import Image

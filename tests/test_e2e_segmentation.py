@@ -2,7 +2,6 @@
 (BASELINE config 4 at tiny scale, virtual 8-device CPU mesh)."""
 import json
 import os
-import sys
 
 import numpy as np
 import pytest

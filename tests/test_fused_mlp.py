@@ -2,7 +2,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
 

@@ -5,7 +5,6 @@ the ViT forward against fixed-seed fixtures)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from myrtle_vision_tpu.models.vit import ViT
 from myrtle_vision_tpu.quantize import QFormat
