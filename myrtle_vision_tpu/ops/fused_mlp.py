@@ -1,18 +1,24 @@
 """Fused transformer MLP block: x + fc2(gelu(fc1(layernorm(x)))).
 
-One Pallas kernel per direction, row-blocked over the flattened
-(batch * seq) dimension with both weight matrices resident in VMEM.  On
-v5e the unfused XLA path pays ~0.7ms per LayerNorm and ~1.8ms per exact
-GELU at ViT-S batch-256 shapes because the VPU elementwise work and the
-MXU matmuls serialize through HBM; in the fused kernel the elementwise
-stages live in VMEM between the two matmuls and overlap the MXU via the
-grid software pipeline.
+One Pallas kernel per direction over (B, N, C) with a GROUP of images per
+grid step and both weight matrices resident in VMEM.  On v5e the unfused
+XLA path pays ~0.7ms per LayerNorm and ~1.8ms per exact GELU at ViT-S
+batch-256 shapes because the VPU elementwise work and the MXU matmuls
+serialize through HBM; in the fused kernel the elementwise stages live in
+VMEM between the two matmuls and overlap the MXU via the grid software
+pipeline.
 
-Backward recomputes the forward per row block (rematerialization) and
-accumulates weight/bias/norm-parameter gradients across grid steps in
-fp32 VMEM accumulator outputs (sequential TPU grid makes read-modify-write
-accumulation safe); dx combines the residual, LayerNorm and matmul paths
-in-kernel.
+The kernels consume the (B, N, C) activation directly: an earlier
+row-blocked variant flattened to (B*N, C) first, and because B*N
+reshapes cross the (8, 128) tile boundaries XLA materialized a real
+layout copy on BOTH sides of every kernel — ~0.24ms x ~40 instances
+~= 10ms/step at ViT-S batch 512 (measured; see git history).
+
+Backward recomputes the forward per image (rematerialization), sums the
+whole group's weight/bias/norm grads locally, and hits the fp32 VMEM
+accumulator outputs once per grid step (sequential TPU grid makes
+read-modify-write accumulation safe); dx combines the residual, LayerNorm
+and matmul paths in-kernel.
 
 Used by the FP32 (non-quantized) fast path of FeedForward
 (models/vit.py); the quant-simulation path keeps discrete fake-quant
@@ -20,17 +26,14 @@ sites and stays on the unfused implementation.
 """
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ROW_BLOCK = 512       # forward
-# backward holds more fp32 intermediates; 512 rows needs the raised
-# per-kernel vmem ceiling and measures fastest on v5e (2890 img/s vs
-# 2885 @ 256, 2801 @ 1024 at ViT-S/16 batch 256); MVT_MLP_BWD_ROWS
-# overrides
-_ROW_BLOCK_BWD = 512
 _EPS = 1e-5
 _SQRT_2 = 1.4142135623730951
 
@@ -78,34 +81,62 @@ def _gelu_grad_f32(h):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref):
-    x = x_ref[...]
-    xn, _, _ = _layernorm_f32(
-        x, s_ref[...].astype(jnp.float32), b_ref[...].astype(jnp.float32)
-    )
-    xn = xn.astype(x.dtype)
-    h = (
-        jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
-        + b1_ref[...].astype(jnp.float32)
-    )
-    g = _gelu_f32(h).astype(x.dtype)
-    y = (
-        jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
-        + b2_ref[...].astype(jnp.float32)
-    )
-    o_ref[...] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
+                o_ref, *, group):
+    scale = s_ref[...].astype(jnp.float32)
+    bias = b_ref[...].astype(jnp.float32)
+    for j in range(group):
+        x = x_ref[j]  # (N, C)
+        xn, _, _ = _layernorm_f32(x, scale, bias)
+        xn = xn.astype(x.dtype)
+        h = (
+            jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
+            + b1_ref[...].astype(jnp.float32)
+        )
+        g = _gelu_f32(h).astype(x.dtype)
+        y = (
+            jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+            + b2_ref[...].astype(jnp.float32)
+        )
+        o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 do_ref, dx_ref, ds_ref, db_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref):
+                dw2_ref, db2_ref, *, group):
     i = pl.program_id(0)
-    x = x_ref[...]
-    do = do_ref[...].astype(jnp.float32)
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
 
-    # recompute forward intermediates for this row block
+    acc = None
+    for j in range(group):
+        grads = _bwd_one_image(
+            x_ref[j], do_ref[j].astype(jnp.float32), scale, bias,
+            w1_ref, b1_ref, w2_ref, dx_ref, j,
+        )
+        acc = grads if acc is None else tuple(
+            a + g for a, g in zip(acc, grads)
+        )
+    dscale, dbias_ln, dw1, db1, dw2, db2 = acc
+
+    @pl.when(i == 0)
+    def _init():
+        ds_ref[...] = jnp.zeros_like(ds_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    ds_ref[...] += dscale
+    db_ref[...] += dbias_ln
+    dw1_ref[...] += dw1
+    db1_ref[...] += db1
+    dw2_ref[...] += dw2
+    db2_ref[...] += db2
+
+
+def _bwd_one_image(x, do, scale, bias, w1_ref, b1_ref, w2_ref, dx_ref, j):
+    # recompute forward intermediates for this image
     ln_out, xhat, rstd = _layernorm_f32(x, scale, bias)
     xn = ln_out.astype(x.dtype)
     h = (
@@ -139,40 +170,34 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     dscale = jnp.sum(dxn * xhat, axis=0)
     dbias_ln = jnp.sum(dxn, axis=0)
     dxhat = dxn * scale
-    d = x.shape[-1]
     m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
-    dx_ref[...] = (do + dx_ln).astype(dx_ref.dtype)
-
-    @pl.when(i == 0)
-    def _init():
-        ds_ref[...] = jnp.zeros_like(ds_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-        dw1_ref[...] = jnp.zeros_like(dw1_ref)
-        db1_ref[...] = jnp.zeros_like(db1_ref)
-        dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        db2_ref[...] = jnp.zeros_like(db2_ref)
-
-    ds_ref[...] += dscale
-    db_ref[...] += dbias_ln
-    dw1_ref[...] += dw1
-    db1_ref[...] += jnp.sum(dh, axis=0)
-    dw2_ref[...] += dw2
-    db2_ref[...] += jnp.sum(do, axis=0)
+    dx_ref[j] = (do + dx_ln).astype(dx_ref.dtype)
+    return (dscale, dbias_ln, dw1, jnp.sum(dh, axis=0), dw2,
+            jnp.sum(do, axis=0))
 
 
-def _pad_rows(x2, rb):
-    rows = x2.shape[0]
-    pad = -(-rows // rb) * rb - rows
-    if pad:
-        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    return x2, rows
+def _group(b: int, n: int, env_key: str, default_rows: int) -> int:
+    """Images per grid step: as many as keep ~default_rows rows in
+    flight (~800 rows measures best on v5e at ViT-S/16 batch 512:
+    train 3262 -> 3309 img/s vs the ~400-row default), bounded by batch
+    divisibility.  MVT_MLP_{FWD,BWD}_GROUP override."""
+    env = os.environ.get(env_key)
+    if env:
+        g = int(env)
+        return g if b % g == 0 else 1
+    target = max(1, default_rows // max(n, 1))
+    g = 1
+    while g * 2 <= min(target, b) and b % (g * 2) == 0:
+        g *= 2
+    return g
 
 
-def _row_specs(rb, d, hidden):
-    row = pl.BlockSpec((rb, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _specs(g, n, d, hidden):
+    row = pl.BlockSpec((g, n, d), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
     vec_d = pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM)
     vec_h = pl.BlockSpec((hidden,), lambda i: (0,),
                          memory_space=pltpu.VMEM)
@@ -183,35 +208,42 @@ def _row_specs(rb, d, hidden):
     return row, vec_d, vec_h, w1, w2
 
 
-def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
-    import os
+def _as_3d(x):
+    """(…, N, C) -> (B, N, C) without crossing tile boundaries (only
+    leading dims are merged; the minor two axes are untouched)."""
+    if x.ndim == 2:
+        return x[None], x.shape
+    if x.ndim == 3:
+        return x, x.shape
+    return x.reshape(-1, *x.shape[-2:]), x.shape
 
-    orig_shape = x.shape
-    d = orig_shape[-1]
+
+def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
+    x3, orig_shape = _as_3d(x)
+    b, n, d = x3.shape
     hidden = w1.shape[-1]
-    block = int(os.environ.get("MVT_MLP_FWD_ROWS", _ROW_BLOCK))
-    x2, rows = _pad_rows(x.reshape(-1, d), block)
-    rb = min(block, x2.shape[0])
-    row, vec_d, vec_h, w1s, w2s = _row_specs(rb, d, hidden)
+    g = _group(b, n, "MVT_MLP_FWD_GROUP", 800)
+    row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
     out = pl.pallas_call(
-        _fwd_kernel,
-        grid=(x2.shape[0] // rb,),
+        functools.partial(_fwd_kernel, group=g),
+        grid=(b // g,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d],
         out_specs=row,
-        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
-    )(x2, scale.astype(wd), bias.astype(wd), w1.astype(wd),
+    )(x3, scale.astype(wd), bias.astype(wd), w1.astype(wd),
       b1.astype(wd), w2.astype(wd), b2.astype(wd))
-    return out[:rows].reshape(orig_shape)
+    return out.reshape(orig_shape)
 
 
 @jax.custom_vjp
 def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
-    """x + fc2(gelu(fc1(LN(x)))) over (..., D) with weights (D, H), (H, D).
+    """x + fc2(gelu(fc1(LN(x)))) over (..., N, D) with weights (D, H),
+    (H, D).
 
     Params may be fp32; compute runs in x.dtype with fp32 accumulation,
     matching the unfused QLayerNorm/QDense/QGelu composition in FP32 mode.
@@ -226,22 +258,18 @@ def _fwd_rule(x, scale, bias, w1, b1, w2, b2):
 
 def _bwd_rule(res, do):
     x, scale, bias, w1, b1, w2, b2 = res
-    import os
-
-    orig_shape = x.shape
-    d = orig_shape[-1]
+    x3, orig_shape = _as_3d(x)
+    do3, _ = _as_3d(do)
+    b, n, d = x3.shape
     hidden = w1.shape[-1]
-    block = int(os.environ.get("MVT_MLP_BWD_ROWS", _ROW_BLOCK_BWD))
-    x2, rows = _pad_rows(x.reshape(-1, d), block)
-    do2, _ = _pad_rows(do.reshape(-1, d), block)
-    rb = min(block, x2.shape[0])
-    row, vec_d, vec_h, w1s, w2s = _row_specs(rb, d, hidden)
+    g = _group(b, n, "MVT_MLP_BWD_GROUP", 800)
+    row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
 
     f32 = jnp.float32
     dx, dscale, dbias, dw1, db1, dw2, db2 = pl.pallas_call(
-        _bwd_kernel,
-        grid=(x2.shape[0] // rb,),
+        functools.partial(_bwd_kernel, group=g),
+        grid=(b // g,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d, row],
         out_specs=(
             row,
@@ -256,7 +284,7 @@ def _bwd_rule(res, do):
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct(x2.shape, x.dtype),
+            jax.ShapeDtypeStruct(x3.shape, x.dtype),
             jax.ShapeDtypeStruct((d,), f32),
             jax.ShapeDtypeStruct((d,), f32),
             jax.ShapeDtypeStruct((d, hidden), f32),
@@ -264,18 +292,17 @@ def _bwd_rule(res, do):
             jax.ShapeDtypeStruct((hidden, d), f32),
             jax.ShapeDtypeStruct((d,), f32),
         ),
-        # larger row blocks exceed the 16MB default scoped-vmem limit;
-        # v5e has 128MB VMEM, raise the per-kernel ceiling
+        # the grouped loop's live stack exceeds the 16MB default
+        # scoped-vmem limit; v5e has 128MB, raise the per-kernel ceiling
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
-    )(x2, scale.astype(wd), bias.astype(wd), w1.astype(wd),
-      b1.astype(wd), w2.astype(wd), b2.astype(wd), do2)
+    )(x3, scale.astype(wd), bias.astype(wd), w1.astype(wd),
+      b1.astype(wd), w2.astype(wd), b2.astype(wd), do3)
 
-    dx = dx[:rows].reshape(orig_shape)
     return (
-        dx,
+        dx.reshape(orig_shape),
         dscale.astype(scale.dtype),
         dbias.astype(bias.dtype),
         dw1.astype(w1.dtype),
