@@ -30,6 +30,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # 2939 @ 1024); MVT_BENCH_BATCH overrides
 BATCH = int(os.environ.get("MVT_BENCH_BATCH", 512))
 INNER_ITERS = 50
+# headline model is ViT-S/16 (the BASELINE north star); MVT_BENCH_MODEL
+# in {tiny, small, base} for scaling measurements
+MODEL = os.environ.get("MVT_BENCH_MODEL", "small")
+_DIMS = {  # dim, depth, heads, mlp_dim (reference train_configs)
+    "tiny": (192, 12, 3, 768),
+    "small": (384, 12, 6, 1536),
+    "base": (768, 12, 12, 3072),
+}
 
 
 def build():
@@ -38,15 +46,16 @@ def build():
     from myrtle_vision_tpu.training.optim import create_optimizer
     from myrtle_vision_tpu.training.trainer import init_train_state
 
+    dim, depth, heads, mlp_dim = _DIMS[MODEL]
     model = ViT(
         decoder="classification",
         image_size=224,
         patch_size=16,
         num_classes=45,
-        dim=384,
-        depth=12,
-        heads=6,
-        mlp_dim=1536,
+        dim=dim,
+        depth=depth,
+        heads=heads,
+        mlp_dim=mlp_dim,
     )
     train_config = {
         "optimizer": "adamw",
@@ -143,7 +152,12 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "resisc45_vit_s16_train_images_per_sec_per_chip",
+                "metric": (
+                    "resisc45_vit_s16_train_images_per_sec_per_chip"
+                    if MODEL == "small"
+                    else f"resisc45_vit_{MODEL}16_train_images_per_sec"
+                    "_per_chip"
+                ),
                 "value": round(train_ips, 2),
                 "unit": "images/s",
                 "vs_baseline": round(vs, 4),

@@ -179,18 +179,28 @@ def _bwd_one_image(x, do, scale, bias, w1_ref, b1_ref, w2_ref, dx_ref, j):
             jnp.sum(do, axis=0))
 
 
-def _group(b: int, n: int, env_key: str, default_rows: int) -> int:
+def _group(b: int, n: int, d: int, hidden: int, env_key: str,
+           default_rows: int, bwd: bool) -> int:
     """Images per grid step: as many as keep ~default_rows rows in
     flight (~800 rows measures best on v5e at ViT-S/16 batch 512:
     train 3262 -> 3309 img/s vs the ~400-row default), bounded by batch
-    divisibility.  MVT_MLP_{FWD,BWD}_GROUP override."""
+    divisibility AND by the per-kernel VMEM ceiling — the backward's
+    unrolled loop keeps ~3 fp32 copies of the (N, hidden) activation
+    live per image, and at ViT-Base dims the fp32 weight-grad
+    accumulators alone take ~19MB.  MVT_MLP_{FWD,BWD}_GROUP override."""
     env = os.environ.get(env_key)
     if env:
         g = int(env)
         return g if b % g == 0 else 1
-    target = max(1, default_rows // max(n, 1))
+    copies = 3 if bwd else 2
+    per_image = copies * n * hidden * 4 + 3 * n * d * 4
+    fixed = 2 * d * hidden * (2 + (4 if bwd else 0)) + (
+        2 * b * n * d * 2  # in/out (+do) block double-buffering share
+    ) // max(b, 1)
+    budget = max(52 * 1024 * 1024 - fixed, per_image)
+    target = min(default_rows // max(n, 1), budget // per_image)
     g = 1
-    while g * 2 <= min(target, b) and b % (g * 2) == 0:
+    while g * 2 <= min(max(target, 1), b) and b % (g * 2) == 0:
         g *= 2
     return g
 
@@ -222,7 +232,7 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
     x3, orig_shape = _as_3d(x)
     b, n, d = x3.shape
     hidden = w1.shape[-1]
-    g = _group(b, n, "MVT_MLP_FWD_GROUP", 800)
+    g = _group(b, n, d, hidden, "MVT_MLP_FWD_GROUP", 800, bwd=False)
     row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
     out = pl.pallas_call(
@@ -262,7 +272,7 @@ def _bwd_rule(res, do):
     do3, _ = _as_3d(do)
     b, n, d = x3.shape
     hidden = w1.shape[-1]
-    g = _group(b, n, "MVT_MLP_BWD_GROUP", 800)
+    g = _group(b, n, d, hidden, "MVT_MLP_BWD_GROUP", 800, bwd=True)
     row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
 
