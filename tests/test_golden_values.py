@@ -62,3 +62,34 @@ def test_fp16_16_golden():
         [0.371826, -0.020508, -0.688477, -0.163818],
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_fp16_32_golden():
+    out = np.asarray(run("classification", QFormat.FP16_32))[0]
+    np.testing.assert_allclose(
+        out,
+        [0.371979, -0.020357, -0.688736, -0.164256],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_tf32_golden():
+    # identical to FP16_32 here by construction: both formats keep 10
+    # mantissa bits and these activations stay inside fp16's exponent
+    # range, so the snapping is the same (they differ on values outside
+    # [2^-14, 65504], covered in test_fake_quant)
+    out = np.asarray(run("classification", QFormat.TF32))[0]
+    np.testing.assert_allclose(
+        out,
+        [0.371979, -0.020357, -0.688736, -0.164256],
+        rtol=2e-4, atol=2e-4,
+    )
+
+
+def test_int8_golden():
+    out = np.asarray(run("classification", QFormat.PyTorchINT8))[0]
+    np.testing.assert_allclose(
+        out,
+        [0.375652, -0.020041, -0.690135, -0.167261],
+        rtol=2e-4, atol=2e-4,
+    )
