@@ -6,6 +6,10 @@ This is the SURVEY §7 step-2 check: import a timm-style state dict through
 timm itself is not installed in this image, so the golden values come from
 executing a minimal timm-equivalent ViT in torch (pre-norm blocks, fused
 QKV, exact GELU, cls-token head) on the same random weights.
+
+NOTE: this is the SECONDARY parity check (it validates the timm *rename
+table* specifically); the primary oracle is tests/test_reference_parity.py,
+which executes the reference's own model code from /root/reference/src.
 """
 import jax
 import jax.numpy as jnp
