@@ -21,9 +21,6 @@ Usage: python finetune_cnn.py --model resnet50 --epochs 5 --lr 1e-3 \
 """
 import argparse
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # the sibling test.py provides the report/eval helpers
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -11,11 +11,8 @@ over a (data, model) mesh; gradients reduce over ICI via XLA collectives.
 import argparse
 import json
 import os
-import sys
 import time
 from datetime import datetime
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -8,9 +8,6 @@ split via PostProcess + CocoEvaluator and prints the 12-number summary).
 import argparse
 import json
 import os
-import sys
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

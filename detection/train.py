@@ -16,11 +16,8 @@ of programs instead of one per image size; targets are padded to
 import argparse
 import json
 import os
-import sys
 import time
 from datetime import datetime
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

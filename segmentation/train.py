@@ -10,11 +10,8 @@ that computes streaming mIoU and logs accuracy/loss/miou scalars
 import argparse
 import json
 import os
-import sys
 import time
 from datetime import datetime
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -1,0 +1,119 @@
+"""torchvision.transforms shim (PIL + torch, torchvision semantics)."""
+import math
+
+import numpy as np
+import torch
+from PIL import Image
+
+_BILINEAR = Image.BILINEAR
+
+
+class Compose:
+    def __init__(self, transforms):
+        self.transforms = transforms
+
+    def __call__(self, img):
+        for t in self.transforms:
+            img = t(img)
+        return img
+
+
+class Resize:
+    def __init__(self, size, interpolation=_BILINEAR):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.interpolation = interpolation
+
+    def __call__(self, img):
+        h, w = self.size
+        return img.resize((w, h), self.interpolation)
+
+
+class CenterCrop:
+    def __init__(self, size):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+
+    def __call__(self, img):
+        w, h = img.size
+        th, tw = self.size
+        left = int(round((w - tw) / 2.0))
+        top = int(round((h - th) / 2.0))
+        return img.crop((left, top, left + tw, top + th))
+
+
+class RandomHorizontalFlip:
+    def __init__(self, p=0.5):
+        self.p = p
+
+    def __call__(self, img):
+        if torch.rand(1).item() < self.p:
+            return img.transpose(Image.FLIP_LEFT_RIGHT)
+        return img
+
+
+class RandomResizedCrop:
+    def __init__(
+        self,
+        size,
+        scale=(0.08, 1.0),
+        ratio=(3.0 / 4.0, 4.0 / 3.0),
+        interpolation=_BILINEAR,
+    ):
+        self.size = (size, size) if isinstance(size, int) else tuple(size)
+        self.scale = scale
+        self.ratio = ratio
+        self.interpolation = interpolation
+
+    def get_params(self, img):
+        width, height = img.size
+        area = height * width
+        log_ratio = (math.log(self.ratio[0]), math.log(self.ratio[1]))
+        for _ in range(10):
+            target_area = area * torch.empty(1).uniform_(
+                self.scale[0], self.scale[1]
+            ).item()
+            aspect = math.exp(
+                torch.empty(1).uniform_(log_ratio[0], log_ratio[1]).item()
+            )
+            w = int(round(math.sqrt(target_area * aspect)))
+            h = int(round(math.sqrt(target_area / aspect)))
+            if 0 < w <= width and 0 < h <= height:
+                i = torch.randint(0, height - h + 1, (1,)).item()
+                j = torch.randint(0, width - w + 1, (1,)).item()
+                return i, j, h, w
+        # central-crop fallback
+        in_ratio = float(width) / float(height)
+        if in_ratio < self.ratio[0]:
+            w = width
+            h = int(round(w / self.ratio[0]))
+        elif in_ratio > self.ratio[1]:
+            h = height
+            w = int(round(h * self.ratio[1]))
+        else:
+            w, h = width, height
+        i = (height - h) // 2
+        j = (width - w) // 2
+        return i, j, h, w
+
+    def __call__(self, img):
+        i, j, h, w = self.get_params(img)
+        img = img.crop((j, i, j + w, i + h))
+        th, tw = self.size
+        return img.resize((tw, th), self.interpolation)
+
+
+class ToTensor:
+    def __call__(self, img):
+        arr = np.asarray(img, dtype=np.uint8)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        arr = arr.transpose(2, 0, 1).astype(np.float32) / 255.0
+        return torch.from_numpy(np.ascontiguousarray(arr))
+
+
+class Normalize:
+    def __init__(self, mean, std):
+        self.mean = torch.tensor(mean, dtype=torch.float32).view(-1, 1, 1)
+        self.std = torch.tensor(std, dtype=torch.float32).view(-1, 1, 1)
+
+    def __call__(self, t):
+        return (t - self.mean) / self.std
