@@ -33,7 +33,10 @@ from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
 from myrtle_vision_tpu.quantize import QFormat, convert_params, model_size_mb
 from myrtle_vision_tpu.training.optim import create_optimizer
 from myrtle_vision_tpu.training.trainer import init_train_state
-from myrtle_vision_tpu.utils.checkpoint import prepare_model_and_load_ckpt
+from myrtle_vision_tpu.utils.checkpoint import (
+    prepare_model_and_load_ckpt,
+    save_checkpoint,
+)
 from myrtle_vision_tpu.utils.config import get_label_list, parse_config
 
 from test import classification_report, evaluate_dataset  # noqa: E402
@@ -71,7 +74,7 @@ def calibrate(model, state, val_loader, calib_steps):
     return state.replace(quant=quant)
 
 
-def test_deit(config, calib_steps, quantized_ckpt):
+def test_deit(config, calib_steps, quantized_ckpt, save_converted=None):
     train_config = config["train_config"]
     data_config = parse_config(config["data_config_path"])
     dataset_path = data_config["dataset_path"]
@@ -132,6 +135,15 @@ def test_deit(config, calib_steps, quantized_ckpt):
         "\nPost-quantization model size: "
         f"{model_size_mb({'params': state.params}, q_format, True)} MB"
     )
+    if save_converted:
+        # converted checkpoint: int8/fp16 storage is real, so the file is
+        # actually smaller on disk (reference quantize.py:329-348 stores
+        # true torch quantized modules)
+        save_checkpoint(state, save_converted, include_optimizer=False)
+        print(
+            "Converted checkpoint: "
+            f"{save_converted} ({os.path.getsize(save_converted) / 1e6} MB)"
+        )
 
     from myrtle_vision_tpu.training.classification import make_predict_fn
 
@@ -166,9 +178,17 @@ if __name__ == "__main__":
         "active (QAT); otherwise an fp32 checkpoint is post-training "
         "quantized",
     )
+    parser.add_argument(
+        "--save_converted",
+        type=str,
+        default=None,
+        help="Write the converted (true int8/fp16 storage) checkpoint here",
+    )
     args = parser.parse_args()
 
     with open(args.config) as f:
         config = json.loads(f.read())
 
-    test_deit(config, args.calib_steps, args.quantized_ckpt)
+    test_deit(
+        config, args.calib_steps, args.quantized_ckpt, args.save_converted
+    )

@@ -85,6 +85,13 @@ class QDense(nn.Module):
             (self.in_features, self.features),
             jnp.float32,
         )
+        if self.converted and self.q_format == QFormat.PyTorchINT8:
+            # true int8 convert: the kernel is stored as int8 and
+            # dequantized on use with this per-tensor scale
+            # (reference quantize.py:329-348, torch quantized Linear)
+            self.kernel_scale = self.param(
+                "kernel_scale", nn.initializers.ones, (), jnp.float32
+            )
         if self.use_bias:
             self.bias = self.param(
                 "bias",
@@ -97,9 +104,14 @@ class QDense(nn.Module):
 
     def __call__(self, x, calibrating: bool = False):
         x = self.act_in(x, calibrating)
-        kernel = quantize_weight(
-            self.kernel, self.q_format, "linear", self.converted
-        )
+        if self.converted and self.q_format == QFormat.PyTorchINT8:
+            # dequantize-on-use: numerically identical to the fake-quant
+            # simulation (q * scale), with real 1-byte storage
+            kernel = self.kernel.astype(jnp.float32) * self.kernel_scale
+        else:
+            kernel = quantize_weight(
+                self.kernel, self.q_format, "linear", self.converted
+            )
         y = jnp.dot(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

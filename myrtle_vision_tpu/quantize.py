@@ -221,51 +221,89 @@ def quantize_weight(w, q_format: QFormat, kind: str, converted: bool):
 # --------------------------------------------------------------------------
 
 def convert_params(params, q_format: QFormat):
-    """Return a param tree with weight fake-quant baked in — the functional
-    equivalent of ``ModelQuantizer.convert`` + QLinear/QLayerNorm.from_float
-    (reference quantize.py:121-166, 329-348).  After conversion the model
-    should be applied with ``converted=True`` so LayerNorm weights are not
-    double-quantized (they are exactly representable, so re-quantizing is a
-    no-op for the float formats, but we keep the flag for INT8 parity)."""
-    import jax
+    """Return a param tree with weight quantization made REAL — the
+    functional equivalent of ``ModelQuantizer.convert`` +
+    QLinear/QLayerNorm.from_float (reference quantize.py:121-166, 329-348),
+    including the actual low-precision storage the reference's converted
+    torch modules have:
 
-    def bake(path, leaf):
-        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
-        name = "/".join(str(n) for n in names)
-        if name.endswith("kernel") or (
-            "patch_to_embedding" in name and name.endswith("kernel")
-        ):
-            return quantize_weight(leaf, q_format, "linear", converted=True)
-        if name.endswith("scale"):  # LayerNorm weight
-            return quantize_weight(leaf, q_format, "norm", converted=True)
-        return leaf
+    - PyTorchINT8: linear kernels stored as **int8** arrays with a
+      per-tensor fp32 ``kernel_scale`` sibling (torch per_tensor_symmetric
+      observer scale, reference quantize.py:243-246); the converted model
+      dequantizes on use (numerically identical to the fake-quant
+      simulation).
+    - FP16_16 / FP16_32: linear kernels and LayerNorm weights stored as
+      **float16** arrays (e5m10 fake-quant output is exactly representable,
+      saturation included).
+    - TF32: weights baked through the e8m10 fake-quant but kept in fp32
+      containers — 19 significant bits do not fit 16 (torch stores TF32
+      master weights as fp32 too).
 
-    return jax.tree_util.tree_map_with_path(bake, params)
+    Apply the converted tree with a ``converted=True`` model so LayerNorm
+    weights are not double-quantized and the INT8 ``kernel_scale`` params
+    are declared.
+    """
+    from collections.abc import Mapping
+
+    if q_format == QFormat.FP32:
+        return params
+
+    def walk(node):
+        if not isinstance(node, Mapping):
+            return node
+        out = {}
+        for key, value in node.items():
+            if key == "kernel":
+                w = np.asarray(value, np.float32)
+                if q_format == QFormat.PyTorchINT8:
+                    scale = np.maximum(
+                        np.abs(w).max() / 127.5, np.float32(1.1920929e-7)
+                    ).astype(np.float32)
+                    q = np.clip(np.rint(w / scale), -128, 127).astype(
+                        np.int8
+                    )
+                    out["kernel"] = q
+                    out["kernel_scale"] = scale
+                    continue
+                baked = np.asarray(
+                    quantize_weight(
+                        jnp.asarray(w), q_format, "linear", converted=True
+                    )
+                )
+                if q_format in (QFormat.FP16_16, QFormat.FP16_32):
+                    baked = baked.astype(np.float16)
+                out["kernel"] = baked
+            elif key == "scale" and not isinstance(value, Mapping):
+                baked = np.asarray(
+                    quantize_weight(
+                        jnp.asarray(value, jnp.float32),
+                        q_format,
+                        "norm",
+                        converted=True,
+                    )
+                )
+                if q_format in (QFormat.FP16_16, QFormat.FP16_32):
+                    baked = baked.astype(np.float16)
+                out["scale"] = baked
+            else:
+                out[key] = walk(value)
+        return out
+
+    return walk(params)
 
 
 def model_size_mb(variables, q_format: QFormat, converted: bool = False):
-    """Serialized model size in MB, using the storage dtype each format
-    implies (reference test_quantize.py:19-23 reports torch.save size).
+    """Serialized model size in MB (reference test_quantize.py:19-23
+    reports torch.save size).
 
-    FP16 formats store weights as 16-bit, TF32 as 19 significant bits
-    (reported as 16-bit containers would be dishonest; TF32 deploys in 32-bit
-    containers, matching torch's behaviour of storing fp32), INT8 linear
-    weights as int8 + scale.
+    After :func:`convert_params` the low-precision storage is real (int8 /
+    float16 arrays), so this is simply the actual bytes of every leaf.
+    TF32 weights deploy in 32-bit containers (19 significant bits), so the
+    TF32 "converted size" staying at 4 bytes/weight is honest.
     """
     import jax
 
     total = 0
-    for path, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
-        name = "/".join(
-            str(getattr(p, "key", getattr(p, "name", ""))) for p in path
-        )
-        arr = np.asarray(leaf)
-        itemsize = arr.dtype.itemsize
-        if converted:
-            is_weight = name.endswith("kernel") or name.endswith("scale")
-            if q_format in (QFormat.FP16_16, QFormat.FP16_32) and is_weight:
-                itemsize = 2
-            elif q_format == QFormat.PyTorchINT8 and name.endswith("kernel"):
-                itemsize = 1
-        total += arr.size * itemsize
+    for _, leaf in jax.tree_util.tree_flatten_with_path(variables)[0]:
+        total += np.asarray(leaf).nbytes
     return total / 1e6

@@ -28,12 +28,14 @@ def _to_host(tree):
     )
 
 
-def save_checkpoint(state, filepath, extra=None):
+def save_checkpoint(state, filepath, extra=None, include_optimizer=True):
     """Serialize a TrainState as {model, optimizer, quant, lr_scheduler,
-    iteration} (reference utils/models.py:113-126)."""
+    iteration} (reference utils/models.py:113-126).  Deployment/converted
+    checkpoints pass include_optimizer=False (weights + observer state
+    only — the FPGA handoff doesn't carry optimizer moments)."""
     payload = {
         "model": _to_host(state.params),
-        "optimizer": _to_host(state.opt_state),
+        "optimizer": _to_host(state.opt_state) if include_optimizer else None,
         "quant": _to_host(state.quant),
         "lr_scheduler": extra or {},
         "iteration": int(state.iteration),
