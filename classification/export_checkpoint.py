@@ -31,7 +31,7 @@ if os.environ.get("MVT_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["MVT_PLATFORM"])
 
 
-def export(config, output):
+def export(config, output, wrap_train_ckpt=False):
     train_config = config["train_config"]
     data_config = parse_config(config["data_config_path"])
     vit = ViT(**vit_kwargs_from_config(config, data_config))
@@ -44,10 +44,27 @@ def export(config, output):
         vit, tx, jax.random.PRNGKey(0),
         jnp.zeros((1, vit.image_size, vit.image_size, 3)),
     )
-    state, _ = prepare_model_and_load_ckpt(
+    state, iteration = prepare_model_and_load_ckpt(
         train_config, state, restore_optimizer=False
     )
-    save_torch_checkpoint(state.params, vit.decoder, output)
+    if wrap_train_ckpt:
+        # the reference's training-checkpoint envelope
+        # (utils/models.py:113-141): load_checkpoint reads ckpt["model"]
+        # and ckpt["iteration"], so the exported file feeds the reference
+        # eval CLIs directly via their checkpoint_path
+        import torch
+
+        from myrtle_vision_tpu.utils.export import export_torch_state_dict
+
+        sd = {
+            k: torch.from_numpy(v)
+            for k, v in export_torch_state_dict(
+                state.params, vit.decoder
+            ).items()
+        }
+        torch.save({"model": sd, "iteration": iteration}, output)
+    else:
+        save_torch_checkpoint(state.params, vit.decoder, output)
     print(f"exported {train_config['checkpoint_path']} -> {output} "
           f"(reference torch format, decoder={vit.decoder})")
 
@@ -58,8 +75,14 @@ if __name__ == "__main__":
         "-c", "--config", type=str, help="JSON file for configuration"
     )
     parser.add_argument("--output", type=str, required=True)
+    parser.add_argument(
+        "--wrap_train_ckpt",
+        action="store_true",
+        help="Wrap in the reference's {model, iteration} training-checkpoint"
+        " envelope so the reference train/test CLIs load it directly",
+    )
     args = parser.parse_args()
 
     with open(args.config) as f:
         config = json.loads(f.read())
-    export(config, args.output)
+    export(config, args.output, args.wrap_train_ckpt)

@@ -10,9 +10,10 @@ oracle is the reference itself (reference src/myrtle_vision/models/
 vit.py:164-396, distill.py:90-151).
 
 qtorch is not installed in this image; the reference's
-``utils/quantize.py`` imports it at module scope (quantize.py:4-6) even
-though the FP32 path never calls it, so a minimal inert stub is
-installed first (VERDICT round 1 explicitly recommends this).
+``utils/quantize.py`` imports it at module scope (quantize.py:4-6), so
+the control harness's FUNCTIONAL qtorch shim is installed first
+(tools/refcontrol/shims/qtorch, asserted bit-exact with our fake-quant
+primitives below).
 
 Reference latent bugs found while building these tests (verified
 empirically, pinned below so the divergence is documented):
@@ -34,6 +35,11 @@ empirically, pinned below so the divergence is documented):
    We repair the instance with the intended members (cls pooling,
    identity latent, the classification head) and then require our loss
    to match the repaired reference exactly.
+
+3. The reference's PyTorchINT8 CONVERTED model crashes on its own ViT:
+   ``pos_embedding_cat`` concatenates raw (never-quantized) parameter
+   slices (vit.py:292-302), so the converted QFunctional.cat gets fp32
+   inputs and quantized::cat raises.  Pinned below.
 """
 import sys
 import types
@@ -55,35 +61,17 @@ REF_SRC = "/root/reference/src"
 
 
 def _install_qtorch_stub():
-    """Inert qtorch so the reference's quantize.py imports; the FP32 path
-    never invokes it (a call raises, proving the FP32 path is clean)."""
+    """Install the control harness's FUNCTIONAL qtorch shim
+    (tools/refcontrol/shims/qtorch — its numerics are asserted bit-exact
+    with our fake-quant primitives below).  The FP32 parity tests don't
+    exercise it (non-identity quantizers there would break the 1e-4
+    logits parity); the TF32 forward test does."""
     if "qtorch" in sys.modules:
         return
-    qtorch = types.ModuleType("qtorch")
-
-    class FixedPoint:
-        def __init__(self, wl, fl):
-            self.wl, self.fl = wl, fl
-
-    class FloatingPoint:
-        def __init__(self, exp, man):
-            self.exp, self.man = exp, man
-
-    qtorch.FixedPoint = FixedPoint
-    qtorch.FloatingPoint = FloatingPoint
-    quant = types.ModuleType("qtorch.quant")
-
-    class Quantizer(torch.nn.Module):
-        def __init__(self, forward_number=None, forward_rounding="nearest"):
-            super().__init__()
-
-        def forward(self, x):  # pragma: no cover - must not be reached
-            raise RuntimeError("qtorch stub invoked on an FP32 path")
-
-    quant.Quantizer = Quantizer
-    qtorch.quant = quant
-    sys.modules["qtorch"] = qtorch
-    sys.modules["qtorch.quant"] = quant
+    shims = "/root/repo/tools/refcontrol/shims"
+    if shims not in sys.path:
+        sys.path.insert(0, shims)
+    import qtorch  # noqa: F401  (the shim package)
 
 
 @pytest.fixture(scope="module")
@@ -335,3 +323,100 @@ def test_distill_wrapper_loss_matches_reference(ref):
     np.testing.assert_allclose(
         float(loss_j), float(loss_t), rtol=1e-5, atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# qtorch shim numerics: the control harness's functional qtorch must be
+# bit-exact with our fake-quant primitives (that equivalence is what makes
+# the reference control runs through tools/refcontrol meaningful)
+# ---------------------------------------------------------------------------
+
+
+def test_qtorch_shim_bit_exact_with_our_primitives():
+    import importlib.util
+
+    from myrtle_vision_tpu.ops import fake_quant as fq
+
+    spec = importlib.util.spec_from_file_location(
+        "refctl_qtorch",
+        "/root/repo/tools/refcontrol/shims/qtorch/__init__.py",
+    )
+    qtorch_shim = importlib.util.module_from_spec(spec)
+    sys.modules["refctl_qtorch"] = qtorch_shim
+    spec.loader.exec_module(qtorch_shim)
+    quant = qtorch_shim.quant
+
+    rng = np.random.RandomState(0)
+    # edge cases: subnormals, halfway points, saturation, zeros, mixed
+    x = np.concatenate(
+        [
+            rng.randn(4096).astype(np.float32) * 10,
+            rng.randn(1024).astype(np.float32) * 1e-6,  # fp16 subnormals
+            np.float32([0.0, -0.0, 65504.0, 65520.0, 70000.0, -70000.0]),
+            np.float32([1 + 2 ** -11, 1 + 2 ** -10, 1 + 3 * 2 ** -11]),
+            np.float32([2.5, -2.5, 0.125, 1023.75, -1024.0009765625]),
+        ]
+    )
+    tx = torch.from_numpy(x)
+
+    # fp16 e5m10
+    ours = np.asarray(fq.float_quantize(jnp.asarray(x), 5, 10))
+    shim = quant.float_quantize(tx, 5, 10).numpy()
+    np.testing.assert_array_equal(ours, shim)
+
+    # TF32 e8m10
+    ours = np.asarray(fq.float_quantize(jnp.asarray(x), 8, 10))
+    shim = quant.float_quantize(tx, 8, 10).numpy()
+    np.testing.assert_array_equal(ours, shim)
+
+    # fixed point wl=11, fl in {7, 8, 9}
+    for fl in (7, 8, 9):
+        ours = np.asarray(fq.fixed_point_quantize(jnp.asarray(x), 11, fl))
+        shim = quant.fixed_point_quantize(tx, 11, fl).numpy()
+        np.testing.assert_array_equal(ours, shim, err_msg=f"fl={fl}")
+
+
+def test_reference_tf32_prepare_qat_forward_via_shim(ref):
+    """End-to-end guard for the control harness: the reference's TF32
+    prepare_qat + forward must run through the shimmed qtorch (a dtype
+    promotion bug in the shim once silently DOUBLED the channel dim via
+    int64.view(float32) - this pins the fix)."""
+    from myrtle_vision.utils.quantize import QFormat as RefQFormat
+
+    torch.manual_seed(0)
+    rv = ref.vit.ViT(
+        decoder="classification", image_size=80, patch_size=16,
+        num_classes=5, dim=32, depth=1, heads=2, mlp_dim=64, dim_head=16,
+    )
+    rv.quantizer.prepare_qat(RefQFormat["TF32"])
+    rv.eval()
+    with torch.no_grad():
+        out = rv(torch.randn(2, 3, 80, 80))
+    assert out.shape == (2, 5)
+
+
+def test_reference_int8_convert_latent_bug_pinned(ref):
+    """Reference latent bug #3: its PyTorchINT8 CONVERTED model crashes on
+    its own ViT.  The forward concatenates pos_embedding slices through
+    ``pos_embedding_cat`` BEFORE ``quant_pos_embedding`` is applied
+    (vit.py:292-302 vs 304-310), so after torch.quantization.convert the
+    resulting QFunctional.cat receives never-quantized fp32 tensors and
+    raises (quantized::cat has no fp32-CPU kernel).  Pinned so the
+    divergence is documented: our PyTorchINT8 convert path works (true
+    int8 storage, tests/test_convert.py) where the reference's crashes."""
+    from myrtle_vision.utils.quantize import QFormat as RefQFormat
+
+    torch.manual_seed(0)
+    rv = ref.vit.ViT(
+        decoder="classification", image_size=80, patch_size=16,
+        num_classes=5, dim=32, depth=1, heads=2, mlp_dim=64, dim_head=16,
+    )
+    rv.quantizer.prepare_qat(RefQFormat["PyTorchINT8"])
+    rv.eval()
+    x = torch.randn(2, 3, 80, 80)
+    with torch.no_grad():
+        rv(x)  # calibration forward works
+    rv.convert()
+    with pytest.raises(NotImplementedError, match="quantized::cat"):
+        with torch.no_grad():
+            rv(x)

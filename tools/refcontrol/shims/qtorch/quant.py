@@ -28,9 +28,10 @@ def float_quantize(x, exp, man, rounding="nearest"):
         base = bits & ~mask
         lsb = (base >> shift) & 1
         round_up = (rem > halfway) | ((rem == halfway) & (lsb == 1))
-        out = (base + torch.where(round_up, 1 << shift, 0)).view(
-            torch.float32
-        )
+        # keep int32: int64 promotion would make .view(float32) reinterpret
+        # each element as TWO floats (doubling the last dim)
+        incr = round_up.to(torch.int32) * (1 << shift)
+        out = (base + incr).view(torch.float32)
         max_val = (2.0 - 2.0 ** (-man)) * 2.0 ** 127
         return torch.clamp(out, -max_val, max_val)
     raise NotImplementedError(f"FloatingPoint(exp={exp}, man={man})")
