@@ -135,20 +135,61 @@ def bench():
     return train_ips, infer_ips
 
 
-def main():
-    train_ips, infer_ips = bench()
-    baseline_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_r1.json"
+def _fwd_flops_per_image():
+    """Analytic forward FLOPs/image for the benched ViT at 224px (matmul
+    FLOPs only — the standard MFU numerator)."""
+    c, depth, h, mlp = _DIMS[MODEL]
+    n = (224 // 16) ** 2 + 1  # 197 tokens
+    d = c // h
+    patch = 2 * (n - 1) * (16 * 16 * 3) * c
+    block = (
+        2 * n * c * 3 * c          # fused qkv
+        + 4 * h * n * n * d        # scores + probs@v
+        + 2 * n * c * c            # output projection
+        + 4 * n * c * mlp          # fc1 + fc2
     )
-    vs = 1.0
-    if os.path.exists(baseline_path):
+    head = 2 * c * 45
+    return patch + depth * block + head
+
+
+# bf16 peak matmul throughput per chip, by jax device_kind
+_PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,       # v5p
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+}
+
+
+def _round1_train_ips():
+    """Round-1 train img/s from the driver's BENCH_r01.json (the fixed
+    progress baseline; absent on a fresh checkout -> ratio 1.0)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for name in ("BENCH_r01.json", "BENCH_r1.json"):
+        path = os.path.join(here, name)
+        if not os.path.exists(path):
+            continue
         try:
-            with open(baseline_path) as f:
-                first = json.load(f)
-            if first.get("value"):
-                vs = train_ips / float(first["value"])
+            with open(path) as f:
+                rec = json.load(f)
+            rec = rec.get("parsed", rec)  # driver wraps under "parsed"
+            if rec.get("value"):
+                return float(rec["value"])
         except Exception:
             pass
+    return None
+
+
+def main():
+    train_ips, infer_ips = bench()
+    r1 = _round1_train_ips()
+    vs = train_ips / r1 if r1 else 1.0
+    fwd = _fwd_flops_per_image()
+    peak = _PEAK_FLOPS.get(jax.devices()[0].device_kind)
+    # train counts the standard 3x forward (bwd ~= 2x fwd); kernel
+    # rematerialization is excluded from the numerator, as usual for MFU
+    train_mfu = train_ips * 3 * fwd / peak if peak else None
+    infer_mfu = infer_ips * fwd / peak if peak else None
     print(
         json.dumps(
             {
@@ -162,6 +203,8 @@ def main():
                 "unit": "images/s",
                 "vs_baseline": round(vs, 4),
                 "infer_images_per_sec": round(infer_ips, 2),
+                "train_mfu": round(train_mfu, 4) if train_mfu else None,
+                "infer_mfu": round(infer_mfu, 4) if infer_mfu else None,
                 "batch": BATCH,
                 "compute_dtype": "bfloat16",
             }

@@ -259,7 +259,6 @@ class Attention(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
-        seq_valid=None,
     ):
         b, n, c = x.shape
         scale = self.dim_head ** -0.5
@@ -285,9 +284,7 @@ class Attention(nn.Module):
                 # quant-format simulation keeps the reference's exact fp32
                 # einsum core (vit.py:92-96)
                 impl = "xla"
-            out = multi_head_attention(
-                q, k, v, scale, impl=impl, seq_valid=seq_valid
-            )
+            out = multi_head_attention(q, k, v, scale, impl=impl)
 
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(self.dtype)
         # requant boundary before the output projection (vit.py:79,97)
@@ -362,18 +359,16 @@ class Block(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
-        seq_valid=None,
     ):
         # FP32 fast path: each block half is one Pallas kernel
         # (ops/fused_attention_block.py, ops/fused_mlp.py); quant formats,
-        # attention capture, active dropout, padded sequences and
-        # sequences too long for one image's attention working set to fit
-        # in VMEM (detection eval at large scales) keep the discrete-site
-        # composition, whose attention routes to the flash kernels
+        # attention capture, active dropout and sequences too long for one
+        # image's attention working set to fit in VMEM (detection eval at
+        # large scales) keep the discrete-site composition, whose attention
+        # routes to the flash kernels
         fuse = (
             self.q_format == QFormat.FP32
             and not capture_attention
-            and seq_valid is None
             and (self.dropout == 0.0 or deterministic)
             and fuses_at(x.shape[1], self.heads, self.dim_head)
         )
@@ -393,8 +388,7 @@ class Block(nn.Module):
             else:
                 y = self.attn_norm(x, calibrating)
                 y = self.attn(
-                    y, deterministic, calibrating, capture_attention,
-                    seq_valid,
+                    y, deterministic, calibrating, capture_attention
                 )
                 x = self.attn_res(y, x, calibrating)
         with jax.named_scope("transformer:feedforward"):
@@ -439,7 +433,6 @@ class Transformer(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
-        seq_valid=None,
     ):
         for i in range(self.depth):
             x = Block(
@@ -453,7 +446,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 name=f"layers_{i}",
-            )(x, deterministic, calibrating, capture_attention, seq_valid)
+            )(x, deterministic, calibrating, capture_attention)
         return x
 
 
@@ -787,34 +780,16 @@ class ViT(nn.Module):
 
         x = self.emb_drop(x, deterministic=deterministic)
 
-        # Pad the token sequence ONCE to a 128 multiple and run the whole
-        # transformer padded (keys masked in attention; padded rows never
-        # mix into valid tokens and are sliced off below).  Per-layer
-        # pad/slice in the attention kernel measured ~1ms/layer of HBM
-        # traffic; 128-aligned rows also tile the MXU cleanly.  The
-        # quant-simulation and attention-capture paths stay unpadded for
-        # reference-exact numerics.
-        n_tokens = x.shape[1]
-        n_aligned = -(-n_tokens // 128) * 128
-        # NOTE: measured net-neutral on v5e — the 30% extra elementwise work
-        # on pad rows cancels the saved per-layer pad/slice; disabled until
-        # the fused block kernels land (where aligned rows come free).
-        pad_seq = False and (
-            self.q_format == QFormat.FP32
-            and not capture_attention
-            and n_aligned != n_tokens
-        )
-        seq_valid = None
-        if pad_seq:
-            x = jnp.pad(x, ((0, 0), (0, n_aligned - n_tokens), (0, 0)))
-            seq_valid = n_tokens
-
+        # Sequence padding to a 128 multiple was evaluated and rejected:
+        # the Pallas kernels already lane-pad internally where needed, the
+        # fused block path requires unpadded sequences (and is faster than
+        # anything the padding could buy back), and explicit pads add real
+        # sublane work on the (H, N, N) score tensors that implicit lane
+        # padding does not.
         with jax.named_scope("transformer"):
             x = self.transformer(
-                x, deterministic, calibrating, capture_attention, seq_valid
+                x, deterministic, calibrating, capture_attention
             )
-        if pad_seq:
-            x = x[:, :n_tokens]
 
         if distill_token is not None:
             x, distill_out = x[:, :-1], x[:, -1]
