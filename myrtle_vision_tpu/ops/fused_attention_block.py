@@ -6,26 +6,38 @@ HBM read of x and the HBM write of the residual output stays in VMEM.
 This removes the (3,b,h,n,d) permute (~1ms/layer of HBM copies at batch
 256) and the per-layer pad/slice of the standalone flash kernel.
 
-Transpose-free head handling: Mosaic requires leading batch dims for
-batched dots and in-kernel transposes lower poorly, so every contraction
-is arranged to produce the next operand in the layout it is consumed in:
+Row-major layout (second generation — measured 21% faster than the
+original head-major (3,H,D,N) form at ViT-S/16 batch 512):
 
-  xn   = LN(x)                                    (N, C)
-  q/k/v = dot(W3[h] (C,D), xn (N,C))   -> per head (H, D, N)
-  s    = dot_b(q, k | contract D, batch H)        (H, N, N)
-  p    = softmax_f32(s)
-  o    = dot_b(p, v | contract Nk, batch H)       (H, N, D)
-  y    = dot_b(o, Wp3[h] (D, C), batch H) summed over H  (N, C)
-  out  = x + y + bias
+  xn   = LN(x)                                   (N, C)
+  qkv  = xn @ W + b    — ONE full-tile dot       (N, 3C)
+  per head h (Python-unrolled, 64-wide lane slices):
+    s    = (q_h * scale) @ k_h^T                 (N, N)
+    e    = exp(s - rowmax(s))
+    o_h  = (e @ v_h) * recip(rowsum(e))          (N, D)
+  o    = concat_h(o_h)                           (N, C)
+  out  = x + o @ Wp + bp
 
-The fused QKV weight (C, 3C) is reshaped once outside the kernel into
-(3, H, C, D) and the projection into (H, D, C) — pure jnp reshapes of
-~1.7MB, hoisted by XLA.
+Why this layout wins on the MXU:
+  - the QKV projection runs as (N,C)@(C,3C): 200x384x1152 padded
+    MAC-slots vs 1152x384x256 for the head-major form (-22%);
+  - the output projection is ONE (N,C)@(C,C) full-util dot instead of
+    six half-tile per-head dots plus an (H,N,C) reduction (-50%);
+  - the softmax division is deferred past the PV dot: an (N,D) scale
+    replaces an (N,N) divide (and the divide itself is a Newton-refined
+    fast reciprocal — the true divide runs on the slow transcendental
+    unit);
+  - unrolled per-head score/softmax/PV interleaves VPU and MXU work.
+  The score/PV dots keep the D=64 half-tile contraction — packing head
+  pairs into block-diagonal 128-wide operands has identical MAC-slot
+  cost and only saves pipeline fills; measured net-neutral.
 
 Backward recomputes the forward per program (rematerialization) and
 accumulates weight/bias/norm grads in fp32 VMEM outputs across the
-sequential grid.  Used by the FP32 fast path of the transformer Block
-(models/vit.py); quant formats keep the discrete-site implementation.
+sequential grid.  Weight grads are produced directly in the parameter
+layouts ((C,3C), (C,C)).  Used by the FP32 fast path of the transformer
+Block (models/vit.py); quant formats keep the discrete-site
+implementation.
 """
 from __future__ import annotations
 
@@ -37,7 +49,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-5
-_NEG = -1e30
 
 
 def _interpret() -> bool:
@@ -53,63 +64,62 @@ def _ln_f32(x, scale, bias):
     return xhat * scale + bias, xhat, rstd
 
 
-def _qkv_heads(xn, w3):
-    """xn (N, C) x w3 (3, H, C, D) -> (3, H, D, N) (contraction over C;
-    output = lhs free dims then rhs free dims)."""
+def _recip_f32(y):
+    """Fast reciprocal + one Newton step (~2^-24 relative, i.e. fp32
+    roundoff); interpret mode keeps the exact divide for bit-stable CPU
+    tests."""
+    if _interpret():
+        return 1.0 / y
+    r = pl.reciprocal(y, approx=True)
+    return r * (2.0 - y * r)
+
+
+def _dot(a, b, contract, prefer=jnp.float32):
     return jax.lax.dot_general(
-        w3, xn, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        a, b, dimension_numbers=(contract, ((), ())),
+        preferred_element_type=prefer,
     )
 
 
-def _attention_core(q, k, v, scale):
-    """q/k/v (H, D, N) fp32-accumulated bf16 -> o (H, N, D)."""
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (H, Nq, Nk)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (H, Nq, D)
-    return o, p
+def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref):
+    """LN + fused QKV projection: (N, C) -> (N, 3C) in x.dtype."""
+    ln_out, xhat, rstd = _ln_f32(x, scale_ln, bias_ln)
+    xn = ln_out.astype(x.dtype)
+    qkv = _dot(xn, w_ref[...], (((1,), (0,)))) \
+        + bq_ref[...].astype(jnp.float32)
+    return qkv.astype(x.dtype), xn, xhat, rstd
 
 
-def _fwd_kernel(x_ref, s_ref, b_ref, w3_ref, bq_ref, wp_ref, bp_ref,
+def _attn_heads_fwd(qkv, heads, scale, dtype):
+    """Per-head score/softmax/PV -> concatenated (N, C) context."""
+    c = qkv.shape[-1] // 3
+    d = c // heads
+    outs = []
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        qs = (q.astype(jnp.float32) * scale).astype(dtype)
+        s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        u = _dot(e.astype(dtype), v, ((1,), (0,)))  # (N, D) fp32
+        o = u * _recip_f32(jnp.sum(e, axis=-1, keepdims=True))
+        outs.append(o.astype(dtype))
+    return jnp.concatenate(outs, axis=-1)  # (N, C)
+
+
+def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
                 o_ref, *, scale, heads, group):
     scale_ln = s_ref[...].astype(jnp.float32)
     bias_ln = b_ref[...].astype(jnp.float32)
     for j in range(group):
         x = x_ref[j]  # (N, C)
-        ln_out, _, _ = _ln_f32(x, scale_ln, bias_ln)
-        xn = ln_out.astype(x.dtype)
-        qkv = _qkv_heads(xn, w3_ref[...])  # (3, H, D, N) fp32
-        # qkv bias: bq (3, H, D) broadcast over N
-        qkv = qkv + bq_ref[...][..., None].astype(jnp.float32)
-        qkv = qkv.astype(x.dtype)
-        q, k, v = qkv[0], qkv[1], qkv[2]
-        o, _ = _attention_core(q, k, v, scale)
-        # projection: per-head partial products summed over heads
-        y = jax.lax.dot_general(
-            o.astype(x.dtype), wp_ref[...],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (H, N, C)
-        y = jnp.sum(y, axis=0) + bp_ref[...].astype(jnp.float32)
+        qkv, _, _, _ = _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref)
+        o = _attn_heads_fwd(qkv, heads, scale, x.dtype)
+        y = _dot(o, wp_ref[...], ((1,), (0,))) \
+            + bp_ref[...].astype(jnp.float32)
         o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
-
-
-def _prep_weights(wqkv, bqkv, wp, heads, dtype):
-    c = wp.shape[-1]
-    d = c // heads
-    w3 = wqkv.reshape(c, 3, heads, d).transpose(1, 2, 0, 3).astype(dtype)
-    bq3 = bqkv.reshape(3, heads, d)
-    wp3 = wp.reshape(heads, d, c).astype(dtype)
-    return w3, bq3, wp3
 
 
 def _fwd_group(b: int) -> int:
@@ -133,8 +143,8 @@ def _fwd_group(b: int) -> int:
 
 def _per_image_stack_bytes(n: int, heads: int, d: int) -> int:
     """Rough per-image VMEM stack estimate for one unrolled kernel
-    iteration: ~3 fp32 copies of the (H, N, N) score/prob tensors plus
-    the fp32 qkv intermediates (Mosaic does not reuse stack across
+    iteration: ~3 fp32 copies of the (N, N) score/prob tensors per head
+    plus the fp32 qkv intermediates (Mosaic does not reuse stack across
     unrolled iterations)."""
     return 3 * heads * n * n * 4 + 2 * 3 * heads * d * n * 4
 
@@ -160,7 +170,6 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
     b, n, c = x.shape
     d = c // heads
     g = _cap_group(_fwd_group(b), b, n, heads, d)
-    w3, bq3, wp3 = _prep_weights(wqkv, bqkv, wp, heads, x.dtype)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -174,11 +183,11 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
             row,
             vec_c,
             vec_c,
-            pl.BlockSpec((3, heads, c, d), lambda i: (0, 0, 0, 0),
+            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, heads, d), lambda i: (0, 0, 0),
+            pl.BlockSpec((3 * c,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((heads, d, c), lambda i: (0, 0, 0),
+            pl.BlockSpec((c, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             vec_c,
         ],
@@ -188,13 +197,14 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
-    )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype), w3,
-      bq3.astype(jnp.float32), wp3, bp.astype(x.dtype))
+    )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype),
+      wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
+      wp.astype(x.dtype), bp.astype(x.dtype))
     return out
 
 
-def _bwd_kernel(x_ref, s_ref, b_ref, w3_ref, bq_ref, wp_ref,
-                do_ref, dx_ref, ds_ref, db_ref, dw3_ref, dbq_ref,
+def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
+                do_ref, dx_ref, ds_ref, db_ref, dw_ref, dbq_ref,
                 dwp_ref, dbp_ref, *, scale, heads, group):
     """Backward for a GROUP of images per grid step.
 
@@ -210,100 +220,88 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w3_ref, bq_ref, wp_ref,
     for j in range(group):
         grads = _bwd_one_image(
             x_ref[j], do_ref[j].astype(jnp.float32), scale_ln, bias_ln,
-            w3_ref, bq_ref, wp_ref, dx_ref, j, scale=scale,
+            w_ref, bq_ref, wp_ref, dx_ref, j, scale=scale, heads=heads,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
         )
-    dscale, dbias, dw3, dbq, dwp, dbp = acc
+    dscale, dbias, dw, dbq, dwp, dbp = acc
 
     @pl.when(i == 0)
     def _init():
         ds_ref[...] = jnp.zeros_like(ds_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
-        dw3_ref[...] = jnp.zeros_like(dw3_ref)
+        dw_ref[...] = jnp.zeros_like(dw_ref)
         dbq_ref[...] = jnp.zeros_like(dbq_ref)
         dwp_ref[...] = jnp.zeros_like(dwp_ref)
         dbp_ref[...] = jnp.zeros_like(dbp_ref)
 
     ds_ref[...] += dscale
     db_ref[...] += dbias
-    dw3_ref[...] += dw3
+    dw_ref[...] += dw
     dbq_ref[...] += dbq
     dwp_ref[...] += dwp
     dbp_ref[...] += dbp
 
 
-def _bwd_one_image(x, do, scale_ln, bias_ln, w3_ref, bq_ref, wp_ref,
-                   dx_ref, j, *, scale):
+def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
+                   dx_ref, j, *, scale, heads):
+    dtype = x.dtype
+    c = x.shape[-1]
+    d = c // heads
     # ---- recompute forward ----
-    ln_out, xhat, rstd = _ln_f32(x, scale_ln, bias_ln)
-    xn = ln_out.astype(x.dtype)
-    qkv = _qkv_heads(xn, w3_ref[...])
-    qkv = qkv + bq_ref[...][..., None].astype(jnp.float32)
-    qkv = qkv.astype(x.dtype)
-    q, k, v = qkv[0], qkv[1], qkv[2]
-    o, p = _attention_core(q, k, v, scale)
-    ob = o.astype(x.dtype)
+    qkv, xn, xhat, rstd = _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref)
+    dob = do.astype(dtype)
 
-    dob = do.astype(x.dtype)
-    # ---- proj backward ----
-    # y_h = o_h @ wp_h ; dwp_h = o_h^T do ; do_h = do @ wp_h^T
-    dwp = jax.lax.dot_general(
-        ob, dob, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (H, D, C)
-    d_o = jax.lax.dot_general(
-        wp_ref[...], dob, dimension_numbers=(((2,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (H, D, N) : contraction over C of wp (H,D,C) x do (N,C)
+    # d_o (N, C) = do @ Wp^T ; o (N, C) recomputed per head below
+    d_o = _dot(dob, wp_ref[...], ((1,), (1,)))  # (N, C) fp32
 
-    # ---- attention backward ----
-    # o = p @ v  (per head): dv (H, D, N) layout to match forward use
-    # dv[h] = o-grad^T p : dv (H, Nk, D)? we need dv in (H, D, Nk).
-    # d_o is (H, D, Nq); p (H, Nq, Nk)
-    dv = jax.lax.dot_general(
-        d_o, p.astype(x.dtype),
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (H, D, Nk)
-    dp = jax.lax.dot_general(
-        d_o.astype(x.dtype), v,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # d_o (H,D,Nq) x v (H,D,Nk) contract D -> (H, Nq, Nk) directly
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))  # (H,Nq,Nk)
-    dsb = ds.astype(x.dtype)
-    # s = q^T k scaled (q (H,D,Nq)): dq (H, D, Nq) = k @ ds^T * scale
-    dq = jax.lax.dot_general(
-        k, dsb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (H, D, Nq)
-    dk = jax.lax.dot_general(
-        q, dsb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (H, D, Nk)
+    o_parts = []
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(heads):
+        q = qkv[:, h * d:(h + 1) * d]
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        qs = (q.astype(jnp.float32) * scale).astype(dtype)
+        s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        rs = _recip_f32(jnp.sum(e, axis=-1, keepdims=True))  # (N, 1)
+        eb = e.astype(dtype)
+        u = _dot(eb, v, ((1,), (0,)))  # (N, D) fp32
+        o_parts.append((u * rs).astype(dtype))
 
-    dqkv = jnp.stack([dq, dk, dv])  # (3, H, D, N) fp32
-    # qkv = w3 (3,H,C,D) contract C with xn (N,C) -> (3,H,D,N)
-    dqkvb = dqkv.astype(x.dtype)
-    # dw3 accumulated in (3,H,D,C) — the natural output of this dot;
-    # the (C, 3C) un-reshape outside the kernel handles the layout
-    dw3 = jax.lax.dot_general(
-        dqkvb, xn, dimension_numbers=(((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (3, H, D, C)
-    # dxn (N, C) = sum over 3,H of w3 (3,H,C,D) x dqkv (3,H,D,N)
-    # (Mosaic supports at most ONE batch dim: fold (3,H) into one)
-    gh = dqkvb.shape[0] * dqkvb.shape[1]
-    w3_flat = w3_ref[...].reshape(gh, *w3_ref.shape[2:])
-    dqkv_flat = dqkvb.reshape(gh, *dqkvb.shape[2:])
-    dxn = jax.lax.dot_general(
-        dqkv_flat, w3_flat,
-        dimension_numbers=(((1,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # dqkv (3H,D,N) x w3 (3H,C,D) contract D -> (3H, N, C) directly
-    dxn = jnp.sum(dxn, axis=0)  # (N, C)
+        d_oh = d_o[:, h * d:(h + 1) * d]  # (N, D) fp32
+        du = (d_oh * rs).astype(dtype)  # normalized head-output grad
+        # dv (Nk, D) = p^T @ d_oh = e^T @ (d_oh * rs)
+        dv_parts.append(_dot(eb, du, ((0,), (0,))))
+        # softmax backward in p-form without materializing p:
+        # exact ds = p*(dp_raw - rowsum(dp_raw*p)) with p = e*rs and
+        # dp_raw = d_oh @ v^T.  Using du = d_oh*rs gives dp = dp_raw*rs,
+        # and rowsum(dp*e) = rowsum(dp_raw*p), so
+        # ds = e*dp - p*rowsum(dp*e) = e * (dp - rs*rowsum(dp*e)).
+        dp = _dot(du, v, ((1,), (1,)))  # (N, N), rows pre-scaled by rs
+        r_row = jnp.sum(dp * e, axis=-1, keepdims=True)
+        dsm = e * (dp - r_row * rs)
+        dsb = dsm.astype(dtype)
+        # s = scale * (q @ k^T):  dq = scale*(ds @ k); dk = ds^T @ qs
+        dq_parts.append(_dot(dsb, k, ((1,), (0,))) * scale)
+        dk_parts.append(_dot(dsb, qs, ((0,), (0,))))
+
+    o = jnp.concatenate(o_parts, axis=-1)  # (N, C)
+    dqkv = jnp.concatenate(
+        dq_parts + dk_parts + dv_parts, axis=-1
+    )  # (N, 3C) fp32
+    dqkvb = dqkv.astype(dtype)
+
+    # ---- projection weight grads ----
+    dwp = _dot(o, dob, ((0,), (0,)))  # (C, C)
+    dbp = jnp.sum(do, axis=0)
+
+    # ---- qkv projection backward ----
+    dw = _dot(xn, dqkvb, ((0,), (0,)))  # (C, 3C)
+    dbq = jnp.sum(dqkv, axis=0)  # (3C,)
+    dxn = _dot(dqkvb, w_ref[...], ((1,), (1,)))  # (N, C)
 
     # ---- LayerNorm backward ----
     dscale = jnp.sum(dxn * xhat, axis=0)
@@ -314,10 +312,7 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w3_ref, bq_ref, wp_ref,
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
     dx_ref[j] = (do + dx_ln).astype(dx_ref.dtype)
-    return (
-        dscale, dbias, dw3, jnp.sum(dqkv, axis=-1), dwp,
-        jnp.sum(do, axis=0),
-    )
+    return dscale, dbias, dw, dbq, dwp, dbp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
@@ -343,11 +338,9 @@ def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
 def _bwd_group(b: int) -> int:
     """Images per backward grid step (MVT_ATTN_BWD_GROUP overrides).
 
-    Default 4: measured on v5e at ViT-S/16 batch 512 after the
-    transpose-free contraction rework — train img/s 3081 (g=2) /
-    3143 (g=4) / 2972 (g=8); the accumulator RMW amortization wins
-    until the unrolled loop's ~2MB/image stack crowds out block
-    double-buffering."""
+    Default 4: measured on v5e at ViT-S/16 batch 512 — the accumulator
+    RMW amortization wins until the unrolled loop's ~2MB/image stack
+    crowds out block double-buffering."""
     import os
 
     env = os.environ.get("MVT_ATTN_BWD_GROUP")
@@ -365,7 +358,6 @@ def _bwd_rule(heads, scale, res, do):
     b, n, c = x.shape
     d = c // heads
     g = _cap_group(_bwd_group(b), b, n, heads, d)
-    w3, bq3, wp3 = _prep_weights(wqkv, bqkv, wp, heads, x.dtype)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -374,28 +366,28 @@ def _bwd_rule(heads, scale, res, do):
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
     f32 = jnp.float32
-    dx, dscale, dbias, dw3, dbq3, dwp3, dbp = pl.pallas_call(
+    dx, dscale, dbias, dw, dbq, dwp, dbp = pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=scale, heads=heads, group=g
         ),
         grid=(b // g,),
         in_specs=[
             row, vec_c, vec_c,
-            rep((3, heads, c, d)), rep((3, heads, d)), rep((heads, d, c)),
+            rep((c, 3 * c)), rep((3 * c,)), rep((c, c)),
             row,
         ],
         out_specs=(
             row, vec_c, vec_c,
-            rep((3, heads, d, c)), rep((3, heads, d)), rep((heads, d, c)),
+            rep((c, 3 * c)), rep((3 * c,)), rep((c, c)),
             vec_c,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((c,), f32),
             jax.ShapeDtypeStruct((c,), f32),
-            jax.ShapeDtypeStruct((3, heads, d, c), f32),
-            jax.ShapeDtypeStruct((3, heads, d), f32),
-            jax.ShapeDtypeStruct((heads, d, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * c), f32),
+            jax.ShapeDtypeStruct((3 * c,), f32),
+            jax.ShapeDtypeStruct((c, c), f32),
             jax.ShapeDtypeStruct((c,), f32),
         ),
         # the grouped kernel's unrolled loop keeps ~2MB/image of stack
@@ -405,20 +397,16 @@ def _bwd_rule(heads, scale, res, do):
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=_interpret(),
-    )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype), w3,
-      bq3.astype(f32), wp3, do.astype(x.dtype))
+    )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype),
+      wqkv.astype(x.dtype), bqkv.astype(f32), wp.astype(x.dtype),
+      do.astype(x.dtype))
 
-    # un-reshape weight grads back to the (C, 3C) / (3C,) / (C, C) layouts
-    # (dw3 arrives as (3, H, D, C) — the kernel's transpose-free layout)
-    dwqkv = dw3.transpose(3, 0, 1, 2).reshape(c, 3 * c)
-    dbqkv = dbq3.reshape(3 * c)
-    dwp = dwp3.reshape(c, c)
     return (
         dx,
         dscale.astype(scale_ln.dtype),
         dbias.astype(bias_ln.dtype),
-        dwqkv.astype(wqkv.dtype),
-        dbqkv.astype(bqkv.dtype),
+        dw.astype(wqkv.dtype),
+        dbq.astype(bqkv.dtype),
         dwp.astype(wp.dtype),
         dbp.astype(jnp.float32),
     )

@@ -172,6 +172,93 @@ def _kernel_rowmajor(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
         o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
 
 
+def _kernel_dotonly(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
+                    o_ref, *, group):
+    """Diagnostic: ONLY the matmuls (no LN, bias, softmax, residual) —
+    the achievable MXU floor for the rowmajor dot sequence."""
+    for j in range(group):
+        x = x_ref[j]
+        qkv = jax.lax.dot_general(
+            x, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        outs = []
+        for h in range(H):
+            qh = qkv[:, h * D:(h + 1) * D]
+            kh = qkv[:, C + h * D:C + (h + 1) * D]
+            vh = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            s = jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype)
+            outs.append(jax.lax.dot_general(
+                s, vh, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(x.dtype))
+        o = jnp.concatenate(outs, axis=-1)
+        y = jax.lax.dot_general(
+            o, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = y.astype(o_ref.dtype)
+
+
+def _kernel_pipe(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
+                 o_ref, *, group):
+    """rowmajor+defer with the head loop software-pipelined: the score
+    dot of head h+1 is issued before the softmax of head h so the VLIW
+    scheduler can overlap MXU and VPU work."""
+    scale_ln = s_ref[...].astype(jnp.float32)
+    bias_ln = b_ref[...].astype(jnp.float32)
+    for j in range(group):
+        x = x_ref[j]
+        xn = _ln_f32(x, scale_ln, bias_ln).astype(x.dtype)
+        qkv = jax.lax.dot_general(
+            xn, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bq_ref[...].astype(jnp.float32)  # (N, 3C)
+        qkv = qkv.astype(x.dtype)
+
+        def score(h):
+            qh = qkv[:, h * D:(h + 1) * D]
+            kh = qkv[:, C + h * D:C + (h + 1) * D]
+            qh = (qh.astype(jnp.float32) * SCALE).astype(x.dtype)
+            return jax.lax.dot_general(
+                qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        def soft(s):
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            return e, jnp.sum(e, axis=-1, keepdims=True)
+
+        def pv(e, ssum, h):
+            vh = qkv[:, 2 * C + h * D:2 * C + (h + 1) * D]
+            return (jax.lax.dot_general(
+                e.astype(x.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) / ssum).astype(x.dtype)
+
+        outs = []
+        s_prev = score(0)
+        e_prev, sum_prev = None, None
+        for h in range(H):
+            # stage order per iteration: issue next score (MXU), then
+            # softmax of the previous (VPU), then its PV (MXU)
+            s_next = score(h + 1) if h + 1 < H else None
+            e_prev, sum_prev = soft(s_prev)
+            outs.append(pv(e_prev, sum_prev, h))
+            s_prev = s_next
+        o = jnp.concatenate(outs, axis=-1)  # (N, C)
+        y = jax.lax.dot_general(
+            o, wp_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + bp_ref[...].astype(jnp.float32)
+        o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
+
+
 # ---------------------------------------------------------------------------
 # harness
 # ---------------------------------------------------------------------------
@@ -201,7 +288,9 @@ def time_variant(name, fn, x, iters):
     @jax.jit
     def loop(x):
         def body(carry, _):
-            return fn(carry), None
+            # rescale so values stay bounded across iterations (residual
+            # blocks grow the carry; unbounded bf16 values overflow)
+            return fn(carry) * 0.5, None
         out, _ = jax.lax.scan(body, x, None, length=iters)
         return out
 
@@ -256,6 +345,67 @@ def main():
          bp.astype(dt)], g)
     variants["defer"] = lambda x: _call(
         functools.partial(_kernel_rowmajor, group=g, defer=True),
+        x, scale_ln, bias_ln,
+        [wqkv.astype(dt), bqkv.astype(jnp.float32), wp.astype(dt),
+         bp.astype(dt)], g)
+    def _xla_attn(x):
+        """Whole attention block in plain XLA ops (no Pallas)."""
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + _EPS)
+              * scale_ln.astype(jnp.float32)
+              + bias_ln.astype(jnp.float32)).astype(x.dtype)
+        qkv = (jnp.einsum("bnc,ck->bnk", xn, wqkv.astype(dt),
+                          preferred_element_type=jnp.float32)
+               + bqkv).reshape(B, N, 3, H, D)
+        q, k, v = [qkv[:, :, i].transpose(0, 2, 1, 3).astype(dt)
+                   for i in range(3)]
+        s = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                       preferred_element_type=jnp.float32) * SCALE
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p.astype(dt), v,
+                       preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, C).astype(dt)
+        y = jnp.einsum("bnc,ck->bnk", o, wp.astype(dt),
+                       preferred_element_type=jnp.float32) + bp
+        return (x.astype(jnp.float32) + y).astype(x.dtype)
+
+    def _xla_mlp(x):
+        w1 = jax.random.normal(ks[5], (C, 4 * C), dt) * 0.05
+        w2 = jax.random.normal(ks[6], (4 * C, C), dt) * 0.05
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xn = ((xf - mu) * jax.lax.rsqrt(var + _EPS)
+              * scale_ln.astype(jnp.float32)
+              + bias_ln.astype(jnp.float32)).astype(x.dtype)
+        h = jnp.einsum("bnc,ck->bnk", xn, w1,
+                       preferred_element_type=jnp.float32)
+        g = jax.nn.gelu(h, approximate=False).astype(dt)
+        y = jnp.einsum("bnk,kc->bnc", g, w2,
+                       preferred_element_type=jnp.float32)
+        return (x.astype(jnp.float32) + y).astype(x.dtype)
+
+    variants["xlaattn"] = _xla_attn
+    variants["xlamlp"] = _xla_mlp
+    variants["dotonly"] = lambda x: _call(
+        functools.partial(_kernel_dotonly, group=g),
+        x, scale_ln, bias_ln,
+        [wqkv.astype(dt), bqkv.astype(jnp.float32), wp.astype(dt),
+         bp.astype(dt)], g)
+
+    def _mlp(x):
+        from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
+        w1 = jax.random.normal(ks[5], (C, 4 * C), dt) * 0.05
+        b1 = jnp.zeros((4 * C,), jnp.float32)
+        w2 = jax.random.normal(ks[6], (4 * C, C), dt) * 0.05
+        b2 = jnp.zeros((C,), jnp.float32)
+        return fused_mlp_block(x, scale_ln, bias_ln, w1, b1, w2, b2)
+
+    variants["mlp"] = _mlp  # calibration: ideal = 4*N*C*4C FLOPs
+    variants["pipe"] = lambda x: _call(
+        functools.partial(_kernel_pipe, group=g),
         x, scale_ln, bias_ln,
         [wqkv.astype(dt), bqkv.astype(jnp.float32), wp.astype(dt),
          bp.astype(dt)], g)

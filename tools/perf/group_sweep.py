@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Sweep the fused-kernel image-group knobs on the real chip, one
+process, sequentially (compiles are server-side and slow; a single
+process reuses the compilation cache across points).
+
+Run: python tools/perf/group_sweep.py
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+B, N, C, H = 512, 197, 384, 6
+D = C // H
+SCALE = D ** -0.5
+ITERS = 100
+
+
+def main():
+    from myrtle_vision_tpu.ops.fused_attention_block import (
+        fused_attention_block,
+    )
+    from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
+
+    rng = jax.random.PRNGKey(0)
+    ks = jax.random.split(rng, 8)
+    dt = jnp.bfloat16
+    x = jax.random.normal(ks[0], (B, N, C), dt)
+    scale_ln = jnp.ones((C,), dt)
+    bias_ln = jnp.zeros((C,), dt)
+    wqkv = jax.random.normal(ks[1], (C, 3 * C), dt) * 0.05
+    bqkv = jax.random.normal(ks[2], (3 * C,), jnp.float32) * 0.01
+    wp = jax.random.normal(ks[3], (C, C), dt) * 0.05
+    bp = jax.random.normal(ks[4], (C,), jnp.float32) * 0.01
+    w1 = jax.random.normal(ks[5], (C, 4 * C), dt) * 0.05
+    b1 = jnp.zeros((4 * C,), jnp.float32)
+    w2 = jax.random.normal(ks[6], (4 * C, C), dt) * 0.05
+    b2 = jnp.zeros((C,), jnp.float32)
+
+    def attn(x):
+        return fused_attention_block(
+            x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, H, SCALE)
+
+    def mlp(x):
+        return fused_mlp_block(x, scale_ln, bias_ln, w1, b1, w2, b2)
+
+    def timeit(fn, grad):
+        if grad:
+            gf = jax.grad(lambda x: jnp.sum(fn(x).astype(jnp.float32)))
+
+            def step(x):
+                return (x - 0.001 * gf(x).astype(x.dtype)) * 0.5
+        else:
+            def step(x):
+                return fn(x) * 0.5
+
+        @jax.jit
+        def loop(x):
+            def body(carry, _):
+                return step(carry), None
+            out, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return out
+
+        loop(x).block_until_ready()
+        t0 = time.perf_counter()
+        loop(x).block_until_ready()
+        return (time.perf_counter() - t0) / ITERS
+
+    points = [
+        ("attn fwd", "MVT_ATTN_FWD_GROUP", attn, False, [4, 8, 16]),
+        ("mlp fwd", "MVT_MLP_FWD_GROUP", mlp, False, [4, 8, 16]),
+        ("mlp bwd", "MVT_MLP_BWD_GROUP", mlp, True, [2, 4, 8]),
+    ]
+    for name, env, fn, grad, gs in points:
+        for g in gs:
+            os.environ[env] = str(g)
+            dtm = timeit(fn, grad)
+            print(f"{name:10s} g={g:<3d} {dtm*1e3:8.3f} ms/iter",
+                  flush=True)
+        del os.environ[env]
+
+
+if __name__ == "__main__":
+    main()
