@@ -33,6 +33,10 @@ INNER_ITERS = 50
 # headline model is ViT-S/16 (the BASELINE north star); MVT_BENCH_MODEL
 # in {tiny, small, base} for scaling measurements
 MODEL = os.environ.get("MVT_BENCH_MODEL", "small")
+# MVT_BENCH_QFORMAT in {FP32 (default), FP16_32, TF32, PyTorchINT8, ...}
+# benches the quantization-simulation (QAT) path: fp32 activations,
+# discrete fake-quant sites, 3-pass fp32 matmuls (models/vit.py QDense)
+QFORMAT = os.environ.get("MVT_BENCH_QFORMAT", "FP32")
 _DIMS = {  # dim, depth, heads, mlp_dim (reference train_configs)
     "tiny": (192, 12, 3, 768),
     "small": (384, 12, 6, 1536),
@@ -42,6 +46,7 @@ _DIMS = {  # dim, depth, heads, mlp_dim (reference train_configs)
 
 def build():
     from myrtle_vision_tpu.models.vit import ViT
+    from myrtle_vision_tpu.quantize import QFormat
     from myrtle_vision_tpu.training.classification import make_loss_fn
     from myrtle_vision_tpu.training.optim import create_optimizer
     from myrtle_vision_tpu.training.trainer import init_train_state
@@ -56,6 +61,7 @@ def build():
         depth=depth,
         heads=heads,
         mlp_dim=mlp_dim,
+        q_format=QFormat[QFORMAT],
     )
     train_config = {
         "optimizer": "adamw",
@@ -195,9 +201,10 @@ def main():
             {
                 "metric": (
                     "resisc45_vit_s16_train_images_per_sec_per_chip"
-                    if MODEL == "small"
-                    else f"resisc45_vit_{MODEL}16_train_images_per_sec"
-                    "_per_chip"
+                    if MODEL == "small" and QFORMAT == "FP32"
+                    else f"resisc45_vit_{MODEL}16"
+                    + ("" if QFORMAT == "FP32" else f"_{QFORMAT}")
+                    + "_train_images_per_sec_per_chip"
                 ),
                 "value": round(train_ips, 2),
                 "unit": "images/s",
@@ -206,7 +213,10 @@ def main():
                 "train_mfu": round(train_mfu, 4) if train_mfu else None,
                 "infer_mfu": round(infer_mfu, 4) if infer_mfu else None,
                 "batch": BATCH,
-                "compute_dtype": "bfloat16",
+                "compute_dtype": (
+                    "bfloat16" if QFORMAT == "FP32"
+                    else f"float32+{QFORMAT}-sim"
+                ),
             }
         )
     )

@@ -102,20 +102,95 @@ class QDense(nn.Module):
         self.act_in = ActQuant(self.q_format, "pre_linear", name="act_in")
         self.act_out = ActQuant(self.q_format, "post_op", name="act_out")
 
-    def __call__(self, x, calibrating: bool = False):
+    def _int8_forward(self, x, in_qparams):
+        """True integer inference for the converted PyTorchINT8 model.
+
+        ``x`` arrives from its producer (a stub/post_op/gelu_out
+        observer) already ON that observer's affine uint8 grid, so
+        ``rint(x/s) + zp`` recovers the integers exactly (values of the
+        form (q-zp)*s reconstruct losslessly at fp32).  The dot then
+        runs as int8 x int8 -> int32 on the MXU (2x the bf16 peak on
+        v5e) using the shifted-zero-point identity:
+
+          y = s_x*s_w * sum_i (q_i - zp) * k8_ij
+            = s_x*s_w * ( sum_i (q_i - 128)*k8_ij + (128 - zp)*colsum_j )
+
+        with q-128 in int8 and colsum_j = sum_i k8_ij from the stored
+        int8 kernel.  Numerically this is MORE exact than the fake-quant
+        simulation (exact integer accumulation + one fp32 rescale), so
+        converted-model outputs agree with the simulated PTQ pipeline to
+        fp32 roundoff.  The reference's own INT8 convert crashes on its
+        ViT (BASELINE.md row 3); this path is the deployment-grade
+        integer execution it intended to have."""
+        s_x, zp, has_stats = in_qparams
+
+        def integer_path(_):
+            q = jnp.clip(
+                jnp.rint(x.astype(jnp.float32) / s_x) + zp, 0.0, 255.0
+            )
+            q8 = (q - 128.0).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                q8, self.kernel,
+                dimension_numbers=(((q8.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            colsum = jnp.sum(
+                self.kernel.astype(jnp.int32), axis=0
+            ).astype(jnp.float32)
+            return (s_x * self.kernel_scale) * (
+                acc + (128.0 - zp) * colsum
+            )
+
+        def fallback(_):
+            # no observer statistics: the simulation path would pass x
+            # through unquantized (ActQuant's has_stats guard)
+            kernel = self.kernel.astype(jnp.float32) * self.kernel_scale
+            return jnp.dot(
+                x.astype(jnp.float32), kernel,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGH,
+            )
+
+        y = jax.lax.cond(has_stats, integer_path, fallback, None)
+        if self.use_bias:
+            y = y + self.bias
+        return self.act_out(y.astype(self.dtype), False)
+
+    def __call__(self, x, calibrating: bool = False, in_qparams=None):
+        if (
+            self.converted
+            and self.q_format == QFormat.PyTorchINT8
+            and in_qparams is not None
+        ):
+            # int8 storage AND int8 compute (MXU integer path); callers
+            # pass the producing observer's qparams where the input is
+            # known to sit on an affine uint8 grid
+            return self._int8_forward(x, in_qparams)
         x = self.act_in(x, calibrating)
         if self.converted and self.q_format == QFormat.PyTorchINT8:
-            # dequantize-on-use: numerically identical to the fake-quant
-            # simulation (q * scale), with real 1-byte storage
+            # dequantize-on-use (int8 storage, fp32 compute): used where
+            # no producer grid is available (detection head tokens)
             kernel = self.kernel.astype(jnp.float32) * self.kernel_scale
         else:
             kernel = quantize_weight(
                 self.kernel, self.q_format, "linear", self.converted
             )
+        # quantized-format simulation runs fp32 activations; TPU fp32
+        # dots default to ONE bf16 MXU pass, which would crush the
+        # fake-quantized fp16/int8-grid values.  HIGH (3-pass) keeps
+        # products of 11-bit-mantissa values exact to ~2^-22 — below the
+        # resolution of the next fake-quant site — at half the cost of
+        # HIGHEST (cf. the fp32 attention core in ops/attention.py).
+        precision = (
+            jax.lax.Precision.HIGH
+            if self.q_format != QFormat.FP32
+            else None
+        )
         y = jnp.dot(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             preferred_element_type=jnp.float32,
+            precision=precision,
         ).astype(self.dtype)
         if self.use_bias:
             y = y + self.bias.astype(self.dtype)
@@ -143,6 +218,12 @@ class QLayerNorm(nn.Module):
         self.act_in = ActQuant(self.q_format, "pre_linear", name="act_in")
         self.act_out = ActQuant(self.q_format, "post_op", name="act_out")
 
+    def out_qparams(self):
+        """The post_op observer's (scale, zero_point, has_stats) — the
+        affine uint8 grid this module's output sits on in converted
+        PyTorchINT8 mode (consumed by QDense's integer path)."""
+        return self.act_out.int8_qparams()
+
     def __call__(self, x, calibrating: bool = False):
         x = self.act_in(x, calibrating)
         scale = quantize_weight(
@@ -162,14 +243,19 @@ class QGelu(nn.Module):
 
     q_format: QFormat
 
-    @nn.compact
+    def setup(self):
+        self.act_in = ActQuant(self.q_format, "gelu_in")
+        self.act_out = ActQuant(self.q_format, "gelu_out")
+
+    def out_qparams(self):
+        """The gelu_out observer's grid (see QLayerNorm.out_qparams)."""
+        return self.act_out.int8_qparams()
+
     def __call__(self, x, calibrating: bool = False):
-        x = ActQuant(self.q_format, "gelu_in", name="act_in")(x, calibrating)
+        x = self.act_in(x, calibrating)
         y = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
         y = y.astype(x.dtype)
-        return ActQuant(self.q_format, "gelu_out", name="act_out")(
-            y, calibrating
-        )
+        return self.act_out(y, calibrating)
 
 
 class FeedForward(nn.Module):
@@ -194,11 +280,20 @@ class FeedForward(nn.Module):
         )
         self.drop = nn.Dropout(self.dropout)
 
-    def __call__(self, x, deterministic: bool = True, calibrating=False):
-        x = self.fc1(x, calibrating)
+    def __call__(self, x, deterministic: bool = True, calibrating=False,
+                 in_qparams=None):
+        cint8 = self.converted and self.q_format == QFormat.PyTorchINT8
+        x = self.fc1(x, calibrating, in_qparams=in_qparams)
         x = self.gelu(x, calibrating)
         x = self.drop(x, deterministic=deterministic)
-        x = self.fc2(x, calibrating)
+        # fc2's input sits on the gelu_out observer grid — but only when
+        # dropout is inactive (dropout rescaling leaves the grid)
+        fc2_qp = (
+            self.gelu.out_qparams()
+            if cint8 and (deterministic or self.dropout == 0.0)
+            else None
+        )
+        x = self.fc2(x, calibrating, in_qparams=fc2_qp)
         return self.drop(x, deterministic=deterministic)
 
 
@@ -259,11 +354,13 @@ class Attention(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
+        in_qparams=None,
     ):
         b, n, c = x.shape
         scale = self.dim_head ** -0.5
+        cint8 = self.converted and self.q_format == QFormat.PyTorchINT8
 
-        qkv = self.to_qkv(x, calibrating)
+        qkv = self.to_qkv(x, calibrating, in_qparams=in_qparams)
         # dequant boundary (reference vit.py:78,86): the core's softmax and
         # accumulations run fp32; under a quantized format the whole core
         # is fp32 (self.dtype is already float32 then)
@@ -289,7 +386,10 @@ class Attention(nn.Module):
         out = out.transpose(0, 2, 1, 3).reshape(b, n, c).astype(self.dtype)
         # requant boundary before the output projection (vit.py:79,97)
         out = self.quant_out(out, calibrating)
-        out = self.to_out(out, calibrating)
+        out = self.to_out(
+            out, calibrating,
+            in_qparams=self.quant_out.int8_qparams() if cint8 else None,
+        )
         return self.drop(out, deterministic=deterministic)
 
 
@@ -386,9 +486,16 @@ class Block(nn.Module):
                     self.dim_head ** -0.5,
                 )
             else:
+                cint8 = (
+                    self.converted
+                    and self.q_format == QFormat.PyTorchINT8
+                )
                 y = self.attn_norm(x, calibrating)
                 y = self.attn(
-                    y, deterministic, calibrating, capture_attention
+                    y, deterministic, calibrating, capture_attention,
+                    in_qparams=(
+                        self.attn_norm.out_qparams() if cint8 else None
+                    ),
                 )
                 x = self.attn_res(y, x, calibrating)
         with jax.named_scope("transformer:feedforward"):
@@ -406,8 +513,17 @@ class Block(nn.Module):
                     self.ffn.fc2.bias,
                 )
             else:
+                cint8 = (
+                    self.converted
+                    and self.q_format == QFormat.PyTorchINT8
+                )
                 y = self.ffn_norm(x, calibrating)
-                y = self.ffn(y, deterministic, calibrating)
+                y = self.ffn(
+                    y, deterministic, calibrating,
+                    in_qparams=(
+                        self.ffn_norm.out_qparams() if cint8 else None
+                    ),
+                )
                 x = self.ffn_res(y, x, calibrating)
         return x
 
@@ -462,14 +578,17 @@ class ClassificationDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, calibrating: bool = False):
         x = x[:, 0]
-        x = QLayerNorm(
+        norm = QLayerNorm(
             self.dim, self.q_format, self.converted, dtype=self.dtype,
             name="norm",
-        )(x, calibrating)
+        )
+        x = norm(x, calibrating)
+        cint8 = self.converted and self.q_format == QFormat.PyTorchINT8
         return QDense(
             self.num_classes, self.dim, self.q_format, self.converted,
             dtype=self.dtype, name="linear",
-        )(x, calibrating)
+        )(x, calibrating,
+          in_qparams=norm.out_qparams() if cint8 else None)
 
 
 class SegmentationDecoder(nn.Module):
@@ -489,14 +608,17 @@ class SegmentationDecoder(nn.Module):
     @nn.compact
     def __call__(self, x, calibrating: bool = False):
         x = x[:, 1:]
-        x = QLayerNorm(
+        norm = QLayerNorm(
             self.dim, self.q_format, self.converted, dtype=self.dtype,
             name="norm",
-        )(x, calibrating)
+        )
+        x = norm(x, calibrating)
+        cint8 = self.converted and self.q_format == QFormat.PyTorchINT8
         x = QDense(
             self.num_classes, self.dim, self.q_format, self.converted,
             dtype=self.dtype, name="linear",
-        )(x, calibrating)
+        )(x, calibrating,
+          in_qparams=norm.out_qparams() if cint8 else None)
         b, hw, c = x.shape
         grid = self.image_size // self.patch_size
         x = x.reshape(b, grid, grid, c).astype(jnp.float32)
@@ -729,8 +851,14 @@ class ViT(nn.Module):
 
         x = self.patchify(img.astype(dtype))
         x = self.quant_img(x, calibrating)
+        cint8 = self.converted and self.q_format == QFormat.PyTorchINT8
         with jax.named_scope("patch_to_embedding"):
-            x = self.patch_to_embedding(x, calibrating)
+            x = self.patch_to_embedding(
+                x, calibrating,
+                in_qparams=(
+                    self.quant_img.int8_qparams() if cint8 else None
+                ),
+            )
 
         is_detection = self.decoder == "detection"
 

@@ -173,23 +173,52 @@ class ActQuant(nn.Module):
     q_format: QFormat
     site: str
 
-    @nn.compact
+    def setup(self):
+        if (
+            self.q_format == QFormat.PyTorchINT8
+            and self.site in _INT8_ACT_SITES
+        ):
+            self.min_v = self.variable(
+                "quant", "min", lambda: jnp.float32(np.inf)
+            )
+            self.max_v = self.variable(
+                "quant", "max", lambda: jnp.float32(-np.inf)
+            )
+
+    def int8_qparams(self):
+        """(scale, zero_point, has_stats) from the running observers."""
+        has_stats = self.min_v.value <= self.max_v.value
+        scale, zp = affine_uint8_qparams(self.min_v.value, self.max_v.value)
+        return scale, zp, has_stats
+
+    def quantize_to_int8(self, x):
+        """Integer-side view of the affine uint8 quantization: returns
+        ``(q - 128, scale, zero_point, has_stats)`` with ``q - 128`` an
+        int8 array on the shifted grid.  Used by the converted-INT8
+        integer matmul path (QDense) — same observers, same grid as the
+        fake-quant simulation, but the quantized values stay integral so
+        the dot can run on the MXU's int8 path.  Must only be called for
+        ``PyTorchINT8`` at an observed site."""
+        scale, zp, has_stats = self.int8_qparams()
+        q = jnp.clip(
+            jnp.rint(x.astype(jnp.float32) / scale) + zp, 0.0, 255.0
+        )
+        q_shifted = (q - 128.0).astype(jnp.int8)
+        return q_shifted, scale, zp, has_stats
+
     def __call__(self, x, calibrating: bool = False):
         if self.q_format == QFormat.PyTorchINT8:
             if self.site not in _INT8_ACT_SITES:
                 return x
-            min_v = self.variable(
-                "quant", "min", lambda: jnp.float32(np.inf)
-            )
-            max_v = self.variable(
-                "quant", "max", lambda: jnp.float32(-np.inf)
-            )
             if calibrating and not self.is_initializing():
                 xf = x.astype(jnp.float32)
-                min_v.value = jnp.minimum(min_v.value, jnp.min(xf))
-                max_v.value = jnp.maximum(max_v.value, jnp.max(xf))
-            has_stats = min_v.value <= max_v.value
-            scale, zp = affine_uint8_qparams(min_v.value, max_v.value)
+                self.min_v.value = jnp.minimum(
+                    self.min_v.value, jnp.min(xf)
+                )
+                self.max_v.value = jnp.maximum(
+                    self.max_v.value, jnp.max(xf)
+                )
+            scale, zp, has_stats = self.int8_qparams()
             q = fq.int8_affine_fake_quant_ste(
                 x.astype(jnp.float32), scale, zp
             ).astype(x.dtype)

@@ -118,3 +118,29 @@ def test_converted_checkpoint_roundtrip_and_disk_size(tmp_path):
     out1 = model_c.apply({"params": converted, "quant": quant}, img)
     out2 = model_c.apply({"params": restored, "quant": quant}, img)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
+
+
+def test_int8_converted_runs_integer_dots():
+    """The converted PyTorchINT8 model must execute its linear layers as
+    int8 x int8 -> int32 dots (the MXU integer path), not as dequantized
+    fp32 matmuls — inspect the jaxpr for integer dot_generals."""
+    model, variables, img = _setup(QFormat.PyTorchINT8)
+    _, upd = model.apply(
+        variables, img, calibrating=True, mutable=["quant"]
+    )
+    variables = {"params": variables["params"], "quant": upd["quant"]}
+    converted = convert_params(variables["params"], QFormat.PyTorchINT8)
+    model_c = ViT(q_format=QFormat.PyTorchINT8, converted=True, **KW)
+
+    jaxpr = jax.make_jaxpr(
+        lambda p, q, x: model_c.apply({"params": p, "quant": q}, x)
+    )(converted, variables["quant"], img)
+    text = str(jaxpr)
+    # every QDense (patch embed, per-block qkv/out/fc1/fc2, head) should
+    # contribute an s8 dot with s32 accumulation
+    assert "preferred_element_type=int32" in text, (
+        "no integer dot_general found in the converted model's jaxpr"
+    )
+    n_int_dots = text.count("preferred_element_type=int32")
+    # patch_to_embedding + 2 blocks x 4 linears + head = 10 integer dots
+    assert n_int_dots >= 10, f"expected >=10 integer dots, {n_int_dots}"
