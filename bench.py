@@ -37,6 +37,10 @@ MODEL = os.environ.get("MVT_BENCH_MODEL", "small")
 # benches the quantization-simulation (QAT) path: fp32 activations,
 # discrete fake-quant sites, 3-pass fp32 matmuls (models/vit.py QDense)
 QFORMAT = os.environ.get("MVT_BENCH_QFORMAT", "FP32")
+# MVT_BENCH_CONVERTED=1 (with MVT_BENCH_QFORMAT=PyTorchINT8) benches the
+# converted deployment model: int8 weight storage + int8 MXU dots
+# (inference only; train numbers are reported as 0)
+CONVERTED = os.environ.get("MVT_BENCH_CONVERTED", "") == "1"
 _DIMS = {  # dim, depth, heads, mlp_dim (reference train_configs)
     "tiny": (192, 12, 3, 768),
     "small": (384, 12, 6, 1536),
@@ -78,6 +82,55 @@ def build():
         model, tx, rng, jnp.zeros((1, 224, 224, 3), jnp.float32)
     )
     return model, tx, state, make_loss_fn(model), rng
+
+
+def bench_converted_int8():
+    """Inference throughput of the converted PyTorchINT8 model (true
+    int8 storage + integer MXU dots; fp32 attention core per the
+    reference's quantization boundary)."""
+    from myrtle_vision_tpu.models.vit import ViT
+    from myrtle_vision_tpu.quantize import QFormat, convert_params
+
+    dim, depth, heads, mlp_dim = _DIMS[MODEL]
+    kw = dict(
+        decoder="classification", image_size=224, patch_size=16,
+        num_classes=45, dim=dim, depth=depth, heads=heads,
+        mlp_dim=mlp_dim,
+    )
+    model = ViT(q_format=QFormat.PyTorchINT8, **kw)
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
+    variables = model.init(rng, images[:1])
+    # one calibration pass to populate the observers
+    _, upd = model.apply(
+        variables, images[:8], calibrating=True, mutable=["quant"]
+    )
+    variables = {
+        "params": variables["params"], "quant": upd["quant"]
+    }
+    converted = convert_params(variables["params"], QFormat.PyTorchINT8)
+    model_c = ViT(q_format=QFormat.PyTorchINT8, converted=True, **kw)
+    quant = variables["quant"]
+
+    @jax.jit
+    def infer_loop(params, quant, images):
+        def body(carry, _):
+            out = model_c.apply(
+                {"params": params, "quant": quant},
+                images + carry * 1e-30,
+            )
+            return jnp.mean(out), None
+
+        final, _ = jax.lax.scan(
+            body, jnp.float32(0), None, length=INNER_ITERS
+        )
+        return final
+
+    float(infer_loop(converted, quant, images))
+    t0 = time.perf_counter()
+    float(infer_loop(converted, quant, images))
+    infer_ips = BATCH * INNER_ITERS / (time.perf_counter() - t0)
+    return 0.0, infer_ips
 
 
 def bench():
@@ -187,9 +240,12 @@ def _round1_train_ips():
 
 
 def main():
-    train_ips, infer_ips = bench()
+    if CONVERTED:
+        train_ips, infer_ips = bench_converted_int8()
+    else:
+        train_ips, infer_ips = bench()
     r1 = _round1_train_ips()
-    vs = train_ips / r1 if r1 else 1.0
+    vs = train_ips / r1 if (r1 and train_ips) else 1.0
     fwd = _fwd_flops_per_image()
     peak = _PEAK_FLOPS.get(jax.devices()[0].device_kind)
     # train counts the standard 3x forward (bwd ~= 2x fwd); kernel
@@ -204,6 +260,7 @@ def main():
                     if MODEL == "small" and QFORMAT == "FP32"
                     else f"resisc45_vit_{MODEL}16"
                     + ("" if QFORMAT == "FP32" else f"_{QFORMAT}")
+                    + ("_converted" if CONVERTED else "")
                     + "_train_images_per_sec_per_chip"
                 ),
                 "value": round(train_ips, 2),

@@ -91,10 +91,11 @@ def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref):
 
 
 def _attn_heads_fwd(qkv, heads, scale, dtype):
-    """Per-head score/softmax/PV -> concatenated (N, C) context."""
+    """Per-head score/softmax/PV -> ((N, C) context, (H, N) rowmax,
+    (H, N) reciprocal-rowsum)."""
     c = qkv.shape[-1] // 3
     d = c // heads
-    outs = []
+    outs, ms, rss = [], [], []
     for h in range(heads):
         q = qkv[:, h * d:(h + 1) * d]
         k = qkv[:, c + h * d:c + (h + 1) * d]
@@ -104,22 +105,38 @@ def _attn_heads_fwd(qkv, heads, scale, dtype):
         m = jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s - m)
         u = _dot(e.astype(dtype), v, ((1,), (0,)))  # (N, D) fp32
-        o = u * _recip_f32(jnp.sum(e, axis=-1, keepdims=True))
-        outs.append(o.astype(dtype))
-    return jnp.concatenate(outs, axis=-1)  # (N, C)
+        rs = _recip_f32(jnp.sum(e, axis=-1, keepdims=True))
+        outs.append((u * rs).astype(dtype))
+        ms.append(m[:, 0])
+        rss.append(rs[:, 0])
+    return (
+        jnp.concatenate(outs, axis=-1),  # (N, C)
+        jnp.stack(ms),                   # (H, N)
+        jnp.stack(rss),                  # (H, N)
+    )
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
-                o_ref, *, scale, heads, group):
+                o_ref, *rest, scale, heads, group, save_stats):
+    """Forward; with ``save_stats`` also writes the softmax statistics
+    and the pre-projection context as residuals for the backward
+    (rest = (ctx_ref, m_ref, rs_ref)), skipping their recomputation
+    there (the backward then needs no max/sum reductions and no
+    u-recompute dots)."""
     scale_ln = s_ref[...].astype(jnp.float32)
     bias_ln = b_ref[...].astype(jnp.float32)
     for j in range(group):
         x = x_ref[j]  # (N, C)
         qkv, _, _, _ = _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref)
-        o = _attn_heads_fwd(qkv, heads, scale, x.dtype)
+        o, m, rs = _attn_heads_fwd(qkv, heads, scale, x.dtype)
         y = _dot(o, wp_ref[...], ((1,), (0,))) \
             + bp_ref[...].astype(jnp.float32)
         o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
+        if save_stats:
+            ctx_ref, m_ref, rs_ref = rest
+            ctx_ref[j] = o
+            m_ref[j] = m
+            rs_ref[j] = rs
 
 
 def _fwd_group(b: int) -> int:
@@ -166,7 +183,8 @@ def _cap_group(g: int, b: int, n: int, heads: int, d: int) -> int:
     return max(g, 1)
 
 
-def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
+def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
+                  save_stats=False):
     b, n, c = x.shape
     d = c // heads
     g = _cap_group(_fwd_group(b), b, n, heads, d)
@@ -174,9 +192,22 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
     vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
+    out_specs = row
+    out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
+    if save_stats:
+        hn = pl.BlockSpec((g, heads, n), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+        out_specs = (row, row, hn, hn)
+        out_shape = (
+            out_shape,
+            jax.ShapeDtypeStruct(x.shape, x.dtype),          # context o
+            jax.ShapeDtypeStruct((b, heads, n), jnp.float32),  # rowmax
+            jax.ShapeDtypeStruct((b, heads, n), jnp.float32),  # 1/rowsum
+        )
     out = pl.pallas_call(
         functools.partial(
-            _fwd_kernel, scale=scale, heads=heads, group=g
+            _fwd_kernel, scale=scale, heads=heads, group=g,
+            save_stats=save_stats,
         ),
         grid=(b // g,),
         in_specs=[
@@ -191,8 +222,8 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
                          memory_space=pltpu.VMEM),
             vec_c,
         ],
-        out_specs=row,
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
@@ -204,7 +235,8 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
 
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
-                do_ref, dx_ref, ds_ref, db_ref, dw_ref, dbq_ref,
+                do_ref, ctx_ref, m_ref, rs_ref,
+                dx_ref, ds_ref, db_ref, dw_ref, dbq_ref,
                 dwp_ref, dbp_ref, *, scale, heads, group):
     """Backward for a GROUP of images per grid step.
 
@@ -220,7 +252,9 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
     for j in range(group):
         grads = _bwd_one_image(
             x_ref[j], do_ref[j].astype(jnp.float32), scale_ln, bias_ln,
-            w_ref, bq_ref, wp_ref, dx_ref, j, scale=scale, heads=heads,
+            w_ref, bq_ref, wp_ref, dx_ref, j,
+            ctx_ref[j], m_ref[j], rs_ref[j],
+            scale=scale, heads=heads,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -245,18 +279,21 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
 
 
 def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
-                   dx_ref, j, *, scale, heads):
+                   dx_ref, j, o, m_all, rs_all, *, scale, heads):
+    """Backward for one image.  ``o`` (N, C), ``m_all``/``rs_all``
+    (H, N) are forward residuals: the pre-projection context and the
+    softmax rowmax / reciprocal-rowsum, so the backward recomputes only
+    the QKV projection and the score dots (no reductions, no PV dots)."""
     dtype = x.dtype
     c = x.shape[-1]
     d = c // heads
-    # ---- recompute forward ----
+    # ---- recompute forward (projection + scores only) ----
     qkv, xn, xhat, rstd = _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref)
     dob = do.astype(dtype)
 
-    # d_o (N, C) = do @ Wp^T ; o (N, C) recomputed per head below
+    # d_o (N, C) = do @ Wp^T
     d_o = _dot(dob, wp_ref[...], ((1,), (1,)))  # (N, C) fp32
 
-    o_parts = []
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
         q = qkv[:, h * d:(h + 1) * d]
@@ -264,12 +301,10 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
         qs = (q.astype(jnp.float32) * scale).astype(dtype)
         s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
-        m = jnp.max(s, axis=-1, keepdims=True)
+        m = m_all[h][:, None]   # (N, 1) stored rowmax
+        rs = rs_all[h][:, None]  # (N, 1) stored 1/rowsum
         e = jnp.exp(s - m)
-        rs = _recip_f32(jnp.sum(e, axis=-1, keepdims=True))  # (N, 1)
         eb = e.astype(dtype)
-        u = _dot(eb, v, ((1,), (0,)))  # (N, D) fp32
-        o_parts.append((u * rs).astype(dtype))
 
         d_oh = d_o[:, h * d:(h + 1) * d]  # (N, D) fp32
         du = (d_oh * rs).astype(dtype)  # normalized head-output grad
@@ -288,7 +323,6 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
         dq_parts.append(_dot(dsb, k, ((1,), (0,))) * scale)
         dk_parts.append(_dot(dsb, qs, ((0,), (0,))))
 
-    o = jnp.concatenate(o_parts, axis=-1)  # (N, C)
     dqkv = jnp.concatenate(
         dq_parts + dk_parts + dv_parts, axis=-1
     )  # (N, 3C) fp32
@@ -329,10 +363,11 @@ def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
 
 
 def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
-    out = _attn_forward(
-        x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale
+    out, ctx, m, rs = _attn_forward(
+        x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
+        save_stats=True,
     )
-    return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp)
+    return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs)
 
 
 def _bwd_group(b: int) -> int:
@@ -354,13 +389,15 @@ def _bwd_group(b: int) -> int:
 
 
 def _bwd_rule(heads, scale, res, do):
-    x, scale_ln, bias_ln, wqkv, bqkv, wp = res
+    x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs = res
     b, n, c = x.shape
     d = c // heads
     g = _cap_group(_bwd_group(b), b, n, heads, d)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    hn = pl.BlockSpec((g, heads, n), lambda i: (i, 0, 0),
+                      memory_space=pltpu.VMEM)
     vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
@@ -374,7 +411,7 @@ def _bwd_rule(heads, scale, res, do):
         in_specs=[
             row, vec_c, vec_c,
             rep((c, 3 * c)), rep((3 * c,)), rep((c, c)),
-            row,
+            row, row, hn, hn,
         ],
         out_specs=(
             row, vec_c, vec_c,
@@ -399,7 +436,7 @@ def _bwd_rule(heads, scale, res, do):
         interpret=_interpret(),
     )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype),
       wqkv.astype(x.dtype), bqkv.astype(f32), wp.astype(x.dtype),
-      do.astype(x.dtype))
+      do.astype(x.dtype), ctx, m, rs)
 
     return (
         dx,
