@@ -465,10 +465,15 @@ class Block(nn.Module):
         # attention capture, active dropout and sequences too long for one
         # image's attention working set to fit in VMEM (detection eval at
         # large scales) keep the discrete-site composition, whose attention
-        # routes to the flash kernels
+        # routes to the flash kernels.  MVT_NO_FUSE=1 forces the unfused
+        # path (diagnostics; combine with
+        # JAX_DEFAULT_MATMUL_PRECISION=highest for true-fp32 training —
+        # TPU fp32 dots otherwise run single-pass bf16 on the MXU)
+        import os as _os
         fuse = (
             self.q_format == QFormat.FP32
             and not capture_attention
+            and _os.environ.get("MVT_NO_FUSE") != "1"
             and (self.dropout == 0.0 or deterministic)
             and fuses_at(x.shape[1], self.heads, self.dim_head)
         )

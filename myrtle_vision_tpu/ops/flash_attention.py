@@ -66,8 +66,14 @@ def _softmax_masked3(s, n_valid):
     return e / jnp.sum(e, axis=-1, keepdims=True)
 
 
-def _group_for(n_pad: int) -> int:
-    return max(1, _ROW_BUDGET // n_pad)
+def _group_for(n_pad: int, dtype=None) -> int:
+    """(b*h) slices per program so the resident q/k/v/o rows fit VMEM;
+    fp32 inputs (true-fp32 parity training, JAX_DEFAULT_MATMUL_PRECISION
+    =highest) halve the budget — the score/prob stack doubles."""
+    budget = _ROW_BUDGET
+    if dtype == jnp.float32:
+        budget //= 2
+    return max(1, budget // n_pad)
 
 
 def _pad_group(x, dtype, n_pad, group):
@@ -111,7 +117,7 @@ def _flash_forward(q, k, v, scale, n_valid=None):
     n_pad = _ceil_to(n, _LANE)
     if n_pad > _FULL_SEQ_MAX:
         return _xla_attention(q, k, v, scale, n_valid)
-    g = _group_for(n_pad)
+    g = _group_for(n_pad, dtype)
     qp = _pad_group(q, dtype, n_pad, g)
     kp = _pad_group(k, dtype, n_pad, g)
     vp = _pad_group(v, dtype, n_pad, g)
@@ -126,6 +132,8 @@ def _flash_forward(q, k, v, scale, n_valid=None):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(qp.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(qp, kp, vp)
     out = out.reshape(-1, n_pad, d)[: b * h, :n, :]
@@ -183,7 +191,7 @@ def _flash_backward(q, k, v, o, g_out, scale, n_valid=None):
     n_pad = _ceil_to(n, _LANE)
     if n_pad > _FULL_SEQ_MAX:
         return _xla_backward(q, k, v, g_out, scale, n_valid)
-    g = _group_for(n_pad)
+    g = _group_for(n_pad, dtype)
     qp = _pad_group(q, dtype, n_pad, g)
     kp = _pad_group(k, dtype, n_pad, g)
     vp = _pad_group(v, dtype, n_pad, g)
@@ -212,6 +220,8 @@ def _flash_backward(q, k, v, o, g_out, scale, n_valid=None):
             jax.ShapeDtypeStruct(qp.shape, k.dtype),
             jax.ShapeDtypeStruct(qp.shape, v.dtype),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
     )(qp, kp, vp, dop, dsum)
 
