@@ -26,9 +26,9 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-# 512 measures best on v5e (train img/s: 2889 @ 256, 2956 @ 512,
-# 2939 @ 1024); MVT_BENCH_BATCH overrides
-BATCH = int(os.environ.get("MVT_BENCH_BATCH", 512))
+# 1024 measures best on v5e with the row-major kernels (train img/s:
+# 3489 @ 512, 3518 @ 1024); MVT_BENCH_BATCH overrides
+BATCH = int(os.environ.get("MVT_BENCH_BATCH", 1024))
 INNER_ITERS = 50
 # headline model is ViT-S/16 (the BASELINE north star); MVT_BENCH_MODEL
 # in {tiny, small, base} for scaling measurements
