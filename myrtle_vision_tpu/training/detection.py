@@ -154,4 +154,12 @@ def use_split_matching() -> bool:
         return False
     if choice == "split":
         return True
-    return jax.default_backend() == "axon"
+    if jax.default_backend() == "axon":
+        return True
+    # newer axon plugin builds register as plain "tpu"; identify via the
+    # PJRT platform_version string
+    try:
+        version = jax.devices()[0].client.platform_version
+    except Exception:
+        version = ""
+    return "axon" in version
