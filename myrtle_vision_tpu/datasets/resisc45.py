@@ -10,7 +10,11 @@ pipeline.  Improvements over the reference kept behaviour-compatible:
   from disk on every item (reference resisc45.py:74-80 re-opens the JSON
   per __getitem__);
 - items take an explicit numpy Generator so augmentation is reproducible
-  and thread-safe under the parallel loader.
+  and thread-safe under the parallel loader;
+- ``MVT_DECODE_CACHE=1`` keeps decoded RGB images in RAM after the first
+  epoch (multi-epoch training re-decodes every JPEG otherwise; on a
+  single-core host the decode is a large share of input-pipeline time,
+  and RESISC45-sized datasets decode to well under a GB).
 """
 from __future__ import annotations
 
@@ -48,12 +52,27 @@ class Resisc45:
             # reference shuffles once at init (resisc45.py:34-35)
             random.shuffle(self.imagepaths_and_labels)
         self.transform = transform_from_config(transform_config)
+        self._cache = (
+            {} if os.environ.get("MVT_DECODE_CACHE") == "1" else None
+        )
+
+    def _load(self, img_path):
+        if self._cache is not None:
+            arr = self._cache.get(img_path)
+            if arr is None:
+                img = Image.open(
+                    os.path.join(self.dataset_path, img_path)
+                ).convert("RGB")
+                arr = np.asarray(img)
+                self._cache[img_path] = arr
+            return Image.fromarray(arr)
+        return Image.open(os.path.join(self.dataset_path, img_path))
 
     def __getitem__(self, index, rng=None):
         if rng is None:
             rng = np.random.default_rng()
         img_path, text_label = self.imagepaths_and_labels[index]
-        img = Image.open(os.path.join(self.dataset_path, img_path))
+        img = self._load(img_path)
         arr = self.transform(img, rng)
         return {
             "image": arr.astype(np.float32),
