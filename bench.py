@@ -252,6 +252,13 @@ def main():
     # rematerialization is excluded from the numerator, as usual for MFU
     train_mfu = train_ips * 3 * fwd / peak if peak else None
     infer_mfu = infer_ips * fwd / peak if peak else None
+    if CONVERTED:
+        # the converted model runs int8 dots (2x bf16 peak on v5e) plus
+        # per-site requant work the bf16 FLOP model doesn't count, so an
+        # MFU against _PEAK_FLOPS would be meaningless; vs_baseline is
+        # train-throughput-based and train_ips is 0 here
+        train_mfu = infer_mfu = None
+        vs = None
     print(
         json.dumps(
             {
@@ -265,7 +272,7 @@ def main():
                 ),
                 "value": round(train_ips, 2),
                 "unit": "images/s",
-                "vs_baseline": round(vs, 4),
+                "vs_baseline": round(vs, 4) if vs is not None else None,
                 "infer_images_per_sec": round(infer_ips, 2),
                 "train_mfu": round(train_mfu, 4) if train_mfu else None,
                 "infer_mfu": round(infer_mfu, 4) if infer_mfu else None,

@@ -37,11 +37,12 @@ def evaluate_dataset(predict_fn, state, loader):
     """Collect (ground truth, prediction) label arrays over a dataset."""
     gts, preds = [], []
     for batch in loader.epoch(0):
+        n = int(batch.pop("_n_valid", len(batch["label"])))
         logits = predict_fn(
             state.params, state.quant, jnp.asarray(batch["image"])
         )
-        preds.extend(np.asarray(jnp.argmax(logits, -1)))
-        gts.extend(batch["label"])
+        preds.extend(np.asarray(jnp.argmax(logits, -1))[:n])
+        gts.extend(batch["label"][:n])
     return np.asarray(gts), np.asarray(preds)
 
 
@@ -91,6 +92,7 @@ def test_deit(config):
         testset,
         batch_size=train_config["local_batch_size"],
         drop_last=train_config["drop_last_batch"],
+        pad_last=True,
     )
 
     # dropout removed for eval (reference test.py:47-49)

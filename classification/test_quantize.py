@@ -99,8 +99,10 @@ def test_deit(config, calib_steps, quantized_ckpt, save_converted=None):
         label_map_path=label_map_path,
         transform_config=data_config["transform_ops_val"],
     )
+    # calibration keeps exact reference batch semantics (no padding); the
+    # test loader pads the ragged tail so eval compiles one shape
     val_loader = DataLoader(valset, **loader_kwargs)
-    test_loader = DataLoader(testset, **loader_kwargs)
+    test_loader = DataLoader(testset, pad_last=True, **loader_kwargs)
 
     config["vit_config"]["dropout"] = 0.0
     config["vit_config"]["emb_dropout"] = 0.0

@@ -41,12 +41,18 @@ class DataLoader:
         num_workers: int = 8,
         prefetch_batches: int = 2,
         collate_fn=None,
+        pad_last: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        # pad_last=True pads the ragged final batch (drop_last=False) up to
+        # batch_size by repeating the last item and tags the batch with
+        # "_n_valid" so consumers can mask — eval then compiles ONE shape
+        # instead of paying an extra XLA compile for the tail shape.
+        self.pad_last = pad_last
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = prefetch_batches
         self.collate_fn = collate_fn or _collate
@@ -84,19 +90,30 @@ class DataLoader:
                 lo = b * self.batch_size
                 hi = min(lo + self.batch_size, len(order))
                 # drop_last=False emits a ragged final batch (torch
-                # semantics; costs one extra XLA compile for the tail shape
-                # but keeps eval counts exact)
+                # semantics) unless pad_last repeats the final item up to
+                # batch_size (one compiled shape; consumers mask via
+                # "_n_valid")
                 idxs = order[lo:hi]
-                pending.append([pool.submit(fetch, i) for i in idxs])
+                n_valid = len(idxs)
+                if self.pad_last and n_valid < self.batch_size:
+                    idxs = np.concatenate(
+                        [idxs, np.repeat(idxs[-1], self.batch_size - n_valid)]
+                    )
+                pending.append(
+                    (n_valid, [pool.submit(fetch, i) for i in idxs])
+                )
 
             for b in range(min(ahead, n_batches)):
                 submit(b)
             for b in range(n_batches):
-                futures = pending.popleft()
+                n_valid, futures = pending.popleft()
                 if b + ahead < n_batches:
                     submit(b + ahead)
                 items = [f.result() for f in futures]
-                yield self.collate_fn(items)
+                batch = self.collate_fn(items)
+                if self.pad_last:
+                    batch["_n_valid"] = n_valid
+                yield batch
 
 
 def _collate(items):

@@ -66,7 +66,12 @@ class Resisc45:
                 arr = np.asarray(img)
                 self._cache[img_path] = arr
             return Image.fromarray(arr)
-        return Image.open(os.path.join(self.dataset_path, img_path))
+        # convert to RGB before the geometric transforms in BOTH paths so
+        # MVT_DECODE_CACHE stays a pure performance switch (resampling in
+        # palette/grayscale mode then converting yields different pixels)
+        return Image.open(
+            os.path.join(self.dataset_path, img_path)
+        ).convert("RGB")
 
     def __getitem__(self, index, rng=None):
         if rng is None:

@@ -53,6 +53,7 @@ def test_seg(config, visualize_dir=None, visualize_n=8):
         testset,
         batch_size=train_config["local_batch_size"],
         drop_last=train_config["drop_last_batch"],
+        pad_last=True,
     )
 
     config["vit_config"]["dropout"] = 0.0
@@ -75,10 +76,12 @@ def test_seg(config, visualize_dir=None, visualize_n=8):
     miou = MIoU(num_classes=n_classes)
     n_written = 0
     for batch in test_loader.epoch(0):
+        n = int(batch.pop("_n_valid", len(batch["label"])))
         logits = predict_fn(
             state.params, state.quant, jnp.asarray(batch["image"])
         )
-        preds = np.asarray(jnp.argmax(logits, -1))
+        preds = np.asarray(jnp.argmax(logits, -1))[:n]
+        batch["label"] = batch["label"][:n]
         miou.add_batch(preds, batch["label"])
         if visualize_dir is not None and n_written < visualize_n:
             from PIL import Image

@@ -415,6 +415,56 @@ def oracle_stats(gt_dict, preds):
     )
 
 
+class TestGoldenFixture:
+    """Frozen scenario + the 12 expected stats derived BY HAND from the
+    published COCOeval protocol (see tests/data/coco_golden.json for the
+    full derivation).  Unlike the pycocotools differential test above,
+    this anchor is committed data and runs in every environment; unlike
+    TestDifferentialOracle, the expected values were not produced by any
+    code in this repo."""
+
+    def _load(self):
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "coco_golden.json"
+        )
+        with open(path) as f:
+            fx = json.load(f)
+        preds = {
+            int(img_id): {
+                "boxes": np.asarray(p["boxes_xyxy"], np.float64).reshape(
+                    -1, 4
+                ),
+                "scores": np.asarray(p["scores"], np.float64),
+                "labels": np.asarray(p["labels"], np.int64),
+            }
+            for img_id, p in fx["predictions"].items()
+        }
+        return fx["gt"], preds, np.asarray(fx["expected_stats"])
+
+    def test_evaluator_reproduces_hand_derived_stats(self):
+        import contextlib
+        import io
+
+        gt_dict, preds, expected = self._load()
+        ev = CocoEvaluator(CocoIndex(gt_dict))
+        ev.update(preds)
+        with contextlib.redirect_stdout(io.StringIO()):
+            stats = ev.summarize()
+        np.testing.assert_allclose(stats, expected, atol=1e-9)
+
+    def test_oracle_reproduces_hand_derived_stats(self):
+        # the from-spec oracle must agree with the hand derivation too —
+        # anchors the oracle itself, which the random differential tests
+        # below then propagate to arbitrary scenarios
+        gt_dict, preds, expected = self._load()
+        np.testing.assert_allclose(
+            oracle_stats(gt_dict, preds), expected, atol=1e-9
+        )
+
+
 class TestDifferentialOracle:
     @pytest.mark.parametrize("seed", range(5))
     def test_random_scenarios_match_from_spec_oracle(self, seed):

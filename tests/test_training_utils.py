@@ -152,6 +152,21 @@ class TestLoader:
         assert len(batches) == 3
         assert [b["image"].shape[0] for b in batches] == [4, 4, 2]
 
+    def test_pad_last_single_shape_with_n_valid(self):
+        from myrtle_vision_tpu.data.loader import DataLoader
+
+        loader = DataLoader(
+            self._dataset(10), batch_size=4, drop_last=False, pad_last=True
+        )
+        batches = list(loader.epoch(0))
+        # one compiled shape: every batch is full-size
+        assert [b["image"].shape[0] for b in batches] == [4, 4, 4]
+        assert [b["_n_valid"] for b in batches] == [4, 4, 2]
+        # the tail pads by repeating the last valid item
+        np.testing.assert_array_equal(
+            batches[2]["label"], np.array([8, 9, 9, 9], np.int32)
+        )
+
 
 class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
