@@ -12,8 +12,17 @@ n=197 — measured slower than the XLA path).  Instead each program owns
 ``G`` (batch*head) slices and loops over them on-chip; G is sized so one
 program keeps ~4k rows of q/k/v/o in VMEM.  For sequences whose score
 matrix fits VMEM (n_pad <= 1536) the whole sequence is processed
-unblocked; longer sequences fall back to the XLA einsum path (detection
-tops out at 608px -> 1545 tokens, within budget).
+unblocked; longer sequences (the reference's 800px detection eval is
+50x50+1+100 = 2601 tokens, data_configs/data_config.json:38) run the
+BLOCKED kernels below: online-softmax over KV tiles with running
+(rowmax, rowsum, accumulator) state in VMEM scratch, so the (n, n)
+score matrix never exists anywhere — each program owns one (batch*head)
+slice, keeps q/o resident, and streams k/v tiles through the grid
+pipeline.  The backward recomputes probabilities per KV tile from the
+forward's saved log-sum-exp rows and accumulates dq in scratch while
+emitting dk/dv per tile.  Measured (v5e, b=8 h=6 n=2601 d=64 bf16):
+forward 4.15ms (20.0 TFLOP/s) vs 7.01ms (11.9) for the XLA einsum it
+replaces; fwd maxdiff vs XLA one bf16 ULP.
 
 Backward follows the standard flash decomposition with score
 recomputation (rematerialization — FLOPs for HBM, the right trade on TPU):
@@ -116,7 +125,7 @@ def _flash_forward(q, k, v, scale, n_valid=None):
     dtype = jnp.bfloat16 if q.dtype != jnp.float32 else q.dtype
     n_pad = _ceil_to(n, _LANE)
     if n_pad > _FULL_SEQ_MAX:
-        return _xla_attention(q, k, v, scale, n_valid)
+        return _blocked_forward(q, k, v, scale, n_valid)
     g = _group_for(n_pad, dtype)
     qp = _pad_group(q, dtype, n_pad, g)
     kp = _pad_group(k, dtype, n_pad, g)
@@ -153,6 +162,200 @@ def _xla_attention(q, k, v, scale, n_valid=None):
     return jnp.einsum(
         "bhqk,bhkd->bhqd", p, v.astype(jnp.float32)
     ).astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# blocked forward (online softmax over KV tiles, n_pad > _FULL_SEQ_MAX)
+# ---------------------------------------------------------------------------
+
+def _pick_kv_blk(n_pad: int) -> int:
+    """KV tile width: the largest 128-multiple divisor of n_pad <= 512.
+    The scores block is (n_pad, kv_blk) fp32 — 2688x384x4 = 4MB, ~3 live
+    copies through the softmax update stay well inside the 64MB
+    scoped-VMEM ceiling at detection-eval scale (2601 -> n_pad 2688)."""
+    for blk in range(512, 0, -128):
+        if n_pad % blk == 0:
+            return blk
+    return 128
+
+
+def _blk_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                    m_scr, l_scr, acc_scr, *, scale, n_valid, n_kv,
+                    kv_blk):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, _NEG)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (NQ, D)
+    k = k_ref[0]  # (KV_BLK, D)
+    v = v_ref[0]
+    s = _dot(q, k, transpose_b=True) * scale  # (NQ, KV_BLK) fp32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kv_blk
+    s = jnp.where(col < n_valid, s, _NEG)
+
+    m_prev = m_scr[...]          # (NQ, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    e = jnp.exp(s - m_new)
+    l_scr[...] = l_scr[...] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+    acc_scr[...] = acc_scr[...] * alpha + _dot(e.astype(v.dtype), v)
+    m_scr[...] = m_new
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        l = l_scr[...]
+        # padded query rows never see a valid key: l == 0 there; guard the
+        # divide (those rows are sliced away by the caller)
+        o = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
+        o_ref[0] = o.astype(o_ref.dtype)
+        lse_ref[0] = m_scr[...] + jnp.log(jnp.where(l > 0.0, l, 1.0))
+
+
+def _blocked_forward(q, k, v, scale, n_valid, *, save_lse=False):
+    b, h, n, d = q.shape
+    dtype = jnp.bfloat16 if q.dtype != jnp.float32 else q.dtype
+    n_pad = _ceil_to(n, _LANE)
+    kv_blk = _pick_kv_blk(n_pad)
+    bh = b * h
+
+    def flat(x):
+        x = x.astype(dtype).reshape(bh, n, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qp, kp, vp = flat(q), flat(k), flat(v)
+    n_kv = n_pad // kv_blk
+
+    q_spec = pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, kv_blk, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    # lse lives as (bh, n_pad, 1): the trailing singleton keeps the block's
+    # last two dims (n_pad, 1) legal for Mosaic (last dim equals the array
+    # dim; n_pad is a multiple of 8) and matches the kernel's (rows, 1)
+    # scratch layout with no transposes
+    lse_spec = pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out, lse = pl.pallas_call(
+        functools.partial(_blk_fwd_kernel, scale=scale, n_valid=n_valid,
+                          n_kv=n_kv, kv_blk=kv_blk),
+        grid=(bh, n_kv),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=(q_spec, lse_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, 1), f32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, 1), f32),   # running rowmax
+            pltpu.VMEM((n_pad, 1), f32),   # running rowsum
+            pltpu.VMEM((n_pad, d), f32),   # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    out = out[:, :n, :].reshape(b, h, n, d)
+    if save_lse:
+        return out, lse  # lse stays (bh, n_pad, 1) for the backward
+    return out
+
+
+def _blk_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                    dq_ref, dk_ref, dv_ref, dsum_scr, dq_scr,
+                    *, scale, n_valid, n_kv, kv_blk):
+    j = pl.program_id(1)
+    q = q_ref[0]    # (NQ, D)
+    do = do_ref[0]  # (NQ, D)
+
+    @pl.when(j == 0)
+    def _init():
+        dsum_scr[...] = jnp.sum(
+            do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+            axis=-1, keepdims=True,
+        )
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    k = k_ref[0]    # (KV_BLK, D)
+    v = v_ref[0]
+    lse = lse_ref[0]  # (NQ, 1)
+    s = _dot(q, k, transpose_b=True) * scale  # (NQ, KV_BLK)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kv_blk
+    s = jnp.where(col < n_valid, s, _NEG)
+    p = jnp.exp(s - lse)
+    # mask padded/invalid QUERY rows out of the dk/dv contractions
+    row = jax.lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    p_masked = jnp.where(row < n_valid, p, 0.0)
+    pb = p_masked.astype(do.dtype)
+
+    def dot_t(a, b):  # a^T @ b: contract the query dim
+        return jax.lax.dot_general(
+            a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dv_ref[0] = dot_t(pb, do).astype(dv_ref.dtype)  # (KV_BLK, D)
+    dp = _dot(do, v, transpose_b=True)  # (NQ, KV_BLK)
+    ds = p * (dp - dsum_scr[...])
+    ds = jnp.where(row < n_valid, ds, 0.0)
+    dsb = ds.astype(q.dtype)
+    dk_ref[0] = (dot_t(dsb, q) * scale).astype(dk_ref.dtype)
+    dq_scr[...] += _dot(dsb, k) * scale
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _blocked_backward(q, k, v, o, g_out, lse, scale, n_valid):
+    b, h, n, d = q.shape
+    dtype = jnp.bfloat16 if q.dtype != jnp.float32 else q.dtype
+    n_pad = _ceil_to(n, _LANE)
+    kv_blk = _pick_kv_blk(n_pad)
+    bh = b * h
+
+    def flat(x):
+        x = x.astype(dtype).reshape(bh, n, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qp, kp, vp, dop, op = flat(q), flat(k), flat(v), flat(g_out), flat(o)
+    n_kv = n_pad // kv_blk
+
+    q_spec = pl.BlockSpec((1, n_pad, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, kv_blk, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    lse_spec = pl.BlockSpec((1, n_pad, 1), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_blk_bwd_kernel, scale=scale, n_valid=n_valid,
+                          n_kv=n_kv, kv_blk=kv_blk),
+        grid=(bh, n_kv),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, q_spec, lse_spec],
+        out_specs=(q_spec, kv_spec, kv_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, n_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, n_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, 1), f32),  # dsum = rowsum(do * o)
+            pltpu.VMEM((n_pad, d), f32),  # dq accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_interpret(),
+    )(qp, kp, vp, dop, op, lse)
+
+    def unpad(x, like):
+        return x[:, :n, :].reshape(b, h, n, d).astype(like.dtype)
+
+    return unpad(dq, q), unpad(dk, k), unpad(dv, v)
 
 
 # ---------------------------------------------------------------------------
@@ -264,12 +467,25 @@ def flash_attention(q, k, v, scale, n_valid=None):
 
 
 def _fa_fwd(q, k, v, scale, n_valid):
+    n = q.shape[2]
+    if _ceil_to(n, _LANE) > _FULL_SEQ_MAX:
+        out, lse = _blocked_forward(
+            q, k, v, scale, n if n_valid is None else n_valid,
+            save_lse=True,
+        )
+        return out, (q, k, v, out, lse)
     out = _flash_forward(q, k, v, scale, n_valid)
-    return out, (q, k, v, out)
+    return out, (q, k, v, out, None)
 
 
 def _fa_bwd(scale, n_valid, residuals, g):
-    q, k, v, o = residuals
+    q, k, v, o, lse = residuals
+    if lse is not None:
+        n = q.shape[2]
+        return _blocked_backward(
+            q, k, v, o, g, lse, scale,
+            n if n_valid is None else n_valid,
+        )
     return _flash_backward(q, k, v, o, g, scale, n_valid)
 
 
