@@ -177,12 +177,13 @@ class QDense(nn.Module):
             )
         # quantized-format simulation runs fp32 activations; TPU fp32
         # dots default to ONE bf16 MXU pass, which would crush the
-        # fake-quantized fp16/int8-grid values.  HIGH (3-pass) keeps
-        # products of 11-bit-mantissa values exact to ~2^-22 — below the
-        # resolution of the next fake-quant site — at half the cost of
-        # HIGHEST (cf. the fp32 attention core in ops/attention.py).
+        # fake-quantized fp16/int8-grid values.  HIGHEST keeps products
+        # of 11-bit-mantissa values exact, matches the fp32 attention
+        # core (ops/attention.py), and is the one non-default fp32 dot
+        # precision Mosaic also implements — so the fused Pallas quant
+        # kernels can be bit-identical with this discrete path.
         precision = (
-            jax.lax.Precision.HIGH
+            jax.lax.Precision.HIGHEST
             if self.q_format != QFormat.FP32
             else None
         )
@@ -253,7 +254,18 @@ class QGelu(nn.Module):
 
     def __call__(self, x, calibrating: bool = False):
         x = self.act_in(x, calibrating)
-        y = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+        if self.q_format in (QFormat.FP16_16, QFormat.FP16_32,
+                             QFormat.TF32):
+            # the stateless quant formats share the exact-divide
+            # polynomial-erf GELU with the fused Pallas kernels (which
+            # have no erf lowering) so the fused and discrete-site paths
+            # are bit-identical; the 1.5e-7 poly error is ~3 decades
+            # below these formats' 11-bit mantissa resolution
+            from myrtle_vision_tpu.ops.fused_mlp import gelu_erf_poly
+
+            y = gelu_erf_poly(x.astype(jnp.float32))
+        else:
+            y = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
         y = y.astype(x.dtype)
         return self.act_out(y, calibrating)
 
@@ -460,35 +472,56 @@ class Block(nn.Module):
         calibrating: bool = False,
         capture_attention: bool = False,
     ):
-        # FP32 fast path: each block half is one Pallas kernel
-        # (ops/fused_attention_block.py, ops/fused_mlp.py); quant formats,
-        # attention capture, active dropout and sequences too long for one
-        # image's attention working set to fit in VMEM (detection eval at
-        # large scales) keep the discrete-site composition, whose attention
-        # routes to the flash kernels.  MVT_NO_FUSE=1 forces the unfused
-        # path (diagnostics; combine with
-        # JAX_DEFAULT_MATMUL_PRECISION=highest for true-fp32 training —
-        # TPU fp32 dots otherwise run single-pass bf16 on the MXU)
+        # Fast path: each block half is one Pallas kernel
+        # (ops/fused_attention_block.py, ops/fused_mlp.py) — for FP32 and
+        # for the STATELESS quant formats (FP16_16/FP16_32/TF32), whose
+        # fake-quant snaps run in-kernel at the discrete-site positions
+        # (bit-identical to the unfused composition).  PyTorchINT8
+        # (stateful observers), attention capture, active dropout and
+        # sequences too long for one image's attention working set to fit
+        # in VMEM (detection eval at large scales) keep the discrete-site
+        # composition, whose attention routes to the flash kernels.
+        # MVT_NO_FUSE=1 forces the unfused path (diagnostics; combine
+        # with JAX_DEFAULT_MATMUL_PRECISION=highest for true-fp32
+        # training — TPU fp32 dots otherwise run single-pass bf16 on the
+        # MXU).  Read at TRACE time: set it before the first jitted call.
         import os as _os
+        _QSPECS = {
+            QFormat.FP32: None,
+            QFormat.FP16_16: (5, 10, True),
+            QFormat.FP16_32: (5, 10, False),
+            QFormat.TF32: (8, 10, False),
+        }
         fuse = (
-            self.q_format == QFormat.FP32
+            self.q_format in _QSPECS
             and not capture_attention
             and _os.environ.get("MVT_NO_FUSE") != "1"
             and (self.dropout == 0.0 or deterministic)
             and fuses_at(x.shape[1], self.heads, self.dim_head)
         )
+        qspec = _QSPECS.get(self.q_format)
         with jax.named_scope("transformer:attention"):
             if fuse:
+                # converted stateless checkpoints store weights as REAL
+                # fp16 arrays; cast to the compute dtype outside the
+                # kernel (exact, matching the unfused QDense's
+                # kernel.astype) so Mosaic refs stay fp32
+                def _qw(w, kind):
+                    return quantize_weight(
+                        w, self.q_format, kind, self.converted
+                    ).astype(self.dtype)
+
                 x = fused_attention_block(
                     x.astype(self.dtype),
-                    self.attn_norm.scale_p,
+                    _qw(self.attn_norm.scale_p, "norm"),
                     self.attn_norm.bias_p,
-                    self.attn.to_qkv_kernel,
+                    _qw(self.attn.to_qkv_kernel, "linear"),
                     self.attn.to_qkv_bias,
-                    self.attn.to_out_kernel,
+                    _qw(self.attn.to_out_kernel, "linear"),
                     self.attn.to_out_bias,
                     self.heads,
                     self.dim_head ** -0.5,
+                    qspec,
                 )
             else:
                 cint8 = (
@@ -508,14 +541,20 @@ class Block(nn.Module):
             # LN -> fc1 -> GELU -> fc2 -> +residual (ops/fused_mlp.py);
             # quant formats / active dropout keep the discrete sites
             if fuse:
+                def _qw(w, kind):
+                    return quantize_weight(
+                        w, self.q_format, kind, self.converted
+                    ).astype(self.dtype)
+
                 x = fused_mlp_block(
                     x.astype(self.dtype),
-                    self.ffn_norm.scale_p,
+                    _qw(self.ffn_norm.scale_p, "norm"),
                     self.ffn_norm.bias_p,
-                    self.ffn.fc1.kernel,
+                    _qw(self.ffn.fc1.kernel, "linear"),
                     self.ffn.fc1.bias,
-                    self.ffn.fc2.kernel,
+                    _qw(self.ffn.fc2.kernel, "linear"),
                     self.ffn.fc2.bias,
+                    qspec,
                 )
             else:
                 cint8 = (

@@ -36,8 +36,24 @@ Backward recomputes the forward per program (rematerialization) and
 accumulates weight/bias/norm grads in fp32 VMEM outputs across the
 sequential grid.  Weight grads are produced directly in the parameter
 layouts ((C,3C), (C,C)).  Used by the FP32 fast path of the transformer
-Block (models/vit.py); quant formats keep the discrete-site
-implementation.
+Block (models/vit.py).
+
+Stateless quantization formats (FP16_16 / FP16_32 / TF32) run the SAME
+kernels with ``qspec=(exp_bits, man_bits, all_sites)``: the float-format
+snap (ops/fake_quant.py float_quantize) is applied IN-KERNEL at exactly
+the discrete-site positions of the unfused path (models/vit.py QDense/
+QLayerNorm ActQuant sites — pre_linear always; post_op/functional when
+``all_sites``, i.e. FP16_16), activations stay fp32, all dots run
+at Precision.HIGHEST (the one non-default fp32 precision Mosaic
+implements) with post-dot core
+scaling and exact-divide softmax — matching the unfused quant path
+(ops/attention.py xla impl) op for op.  This removes the ~5x
+discrete-site HBM round-trip penalty the QAT simulation paid (BASELINE
+round-2 throughput table: 661 vs 3518 train img/s).  Gradients: the
+sites are straight-through estimators, so the backward is the FP32
+backward with the snapped forward intermediates recomputed at the same
+positions.  PyTorchINT8 keeps the discrete-site implementation (its
+observers are stateful).
 """
 from __future__ import annotations
 
@@ -48,7 +64,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from myrtle_vision_tpu.ops.fake_quant import float_quantize
+
 _EPS = 1e-5
+# Mosaic implements only DEFAULT and HIGHEST dot precisions; HIGHEST
+# (exact fp32 contraction) is what the discrete quant path uses too
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _snap(x, qspec):
+    """In-kernel float-format fake-quant (fp32 -> fp32 on the format's
+    grid); identity when qspec is None.  No STE needed in-kernel: the
+    sites sit inside a custom_vjp whose backward already treats them as
+    straight-through."""
+    if qspec is None:
+        return x
+    return float_quantize(x, qspec[0], qspec[1])
+
+
+def _snap_all(x, qspec):
+    """Snap only at the all-sites formats (FP16_16's post_op/functional
+    observers); identity for the pre_linear-only formats."""
+    if qspec is None or not qspec[2]:
+        return x
+    return float_quantize(x, qspec[0], qspec[1])
 
 
 def _interpret() -> bool:
@@ -74,25 +113,38 @@ def _recip_f32(y):
     return r * (2.0 - y * r)
 
 
-def _dot(a, b, contract, prefer=jnp.float32):
+def _dot(a, b, contract, prefer=jnp.float32, precision=None):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
-        preferred_element_type=prefer,
+        preferred_element_type=prefer, precision=precision,
     )
 
 
-def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref):
-    """LN + fused QKV projection: (N, C) -> (N, 3C) in x.dtype."""
-    ln_out, xhat, rstd = _ln_f32(x, scale_ln, bias_ln)
+def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref, qspec=None):
+    """LN + fused QKV projection: (N, C) -> (N, 3C) in x.dtype.
+
+    Quant sites (qspec not None): attn_norm.act_in (pre_linear snap of
+    x), attn_norm.act_out (post_op, all-sites only), to_qkv.act_in
+    (pre_linear), to_qkv.act_out (post_op, all-sites only); the
+    projection dot runs Precision.HIGHEST like the discrete QDense."""
+    ln_out, xhat, rstd = _ln_f32(_snap(x, qspec), scale_ln, bias_ln)
+    ln_out = _snap(_snap_all(ln_out, qspec), qspec)
     xn = ln_out.astype(x.dtype)
-    qkv = _dot(xn, w_ref[...], (((1,), (0,)))) \
-        + bq_ref[...].astype(jnp.float32)
+    qkv = _dot(
+        xn, w_ref[...], (((1,), (0,))),
+        precision=_HIGHEST if qspec else None,
+    ) + bq_ref[...].astype(jnp.float32)
+    qkv = _snap_all(qkv, qspec)
     return qkv.astype(x.dtype), xn, xhat, rstd
 
 
-def _attn_heads_fwd(qkv, heads, scale, dtype):
+def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
     """Per-head score/softmax/PV -> ((N, C) context, (H, N) rowmax,
-    (H, N) reciprocal-rowsum)."""
+    (H, N) reciprocal-rowsum).
+
+    Quant path: matches the unfused fp32 core (ops/attention.py xla
+    impl) op for op — HIGHEST dots, post-dot scaling, exact-divide
+    softmax (the reference dequantizes around the core, vit.py:78-97)."""
     c = qkv.shape[-1] // 3
     d = c // heads
     outs, ms, rss = [], [], []
@@ -100,13 +152,26 @@ def _attn_heads_fwd(qkv, heads, scale, dtype):
         q = qkv[:, h * d:(h + 1) * d]
         k = qkv[:, c + h * d:c + (h + 1) * d]
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-        qs = (q.astype(jnp.float32) * scale).astype(dtype)
-        s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
-        u = _dot(e.astype(dtype), v, ((1,), (0,)))  # (N, D) fp32
-        rs = _recip_f32(jnp.sum(e, axis=-1, keepdims=True))
-        outs.append((u * rs).astype(dtype))
+        if qspec is not None:
+            s = _dot(q, k, ((1,), (1,)), precision=_HIGHEST) \
+                * jnp.float32(scale)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            ssum = jnp.sum(e, axis=-1, keepdims=True)
+            # true division, NOT multiply-by-reciprocal: bit-parity with
+            # the unfused jax.nn.softmax core
+            p = e / ssum
+            u = _dot(p, v, ((1,), (0,)), precision=_HIGHEST)
+            rs = 1.0 / ssum  # backward-only statistic
+            outs.append(u.astype(dtype))
+        else:
+            qs = (q.astype(jnp.float32) * scale).astype(dtype)
+            s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            u = _dot(e.astype(dtype), v, ((1,), (0,)))  # (N, D) fp32
+            rs = _recip_f32(jnp.sum(e, axis=-1, keepdims=True))
+            outs.append((u * rs).astype(dtype))
         ms.append(m[:, 0])
         rss.append(rs[:, 0])
     return (
@@ -117,7 +182,7 @@ def _attn_heads_fwd(qkv, heads, scale, dtype):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
-                o_ref, *rest, scale, heads, group, save_stats):
+                o_ref, *rest, scale, heads, group, save_stats, qspec):
     """Forward; with ``save_stats`` also writes the softmax statistics
     and the pre-projection context as residuals for the backward
     (rest = (ctx_ref, m_ref, rs_ref)), skipping their recomputation
@@ -127,11 +192,22 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
     bias_ln = b_ref[...].astype(jnp.float32)
     for j in range(group):
         x = x_ref[j]  # (N, C)
-        qkv, _, _, _ = _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref)
-        o, m, rs = _attn_heads_fwd(qkv, heads, scale, x.dtype)
-        y = _dot(o, wp_ref[...], ((1,), (0,))) \
-            + bp_ref[...].astype(jnp.float32)
-        o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
+        qkv, _, _, _ = _qkv_rows(
+            x, scale_ln, bias_ln, w_ref, bq_ref, qspec
+        )
+        o, m, rs = _attn_heads_fwd(qkv, heads, scale, x.dtype, qspec)
+        # to_out.act_in (pre_linear) snaps the attention context; the
+        # saved residual must be the snapped value (it is the actual
+        # input of the output projection, so dWp contracts against it)
+        o = _snap(o.astype(jnp.float32), qspec).astype(x.dtype)
+        y = _dot(
+            o, wp_ref[...], ((1,), (0,)),
+            precision=_HIGHEST if qspec else None,
+        ) + bp_ref[...].astype(jnp.float32)
+        y = _snap_all(y, qspec)  # to_out.act_out (post_op)
+        out = x.astype(jnp.float32) + y
+        out = _snap_all(out, qspec)  # attn_res (functional)
+        o_ref[j] = out.astype(o_ref.dtype)
         if save_stats:
             ctx_ref, m_ref, rs_ref = rest
             ctx_ref[j] = o
@@ -184,7 +260,7 @@ def _cap_group(g: int, b: int, n: int, heads: int, d: int) -> int:
 
 
 def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-                  save_stats=False):
+                  save_stats=False, qspec=None):
     b, n, c = x.shape
     d = c // heads
     g = _cap_group(_fwd_group(b), b, n, heads, d)
@@ -207,7 +283,7 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, heads=heads, group=g,
-            save_stats=save_stats,
+            save_stats=save_stats, qspec=qspec,
         ),
         grid=(b // g,),
         in_specs=[
@@ -237,7 +313,7 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
 def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
                 do_ref, ctx_ref, m_ref, rs_ref,
                 dx_ref, ds_ref, db_ref, dw_ref, dbq_ref,
-                dwp_ref, dbp_ref, *, scale, heads, group):
+                dwp_ref, dbp_ref, *, scale, heads, group, qspec):
     """Backward for a GROUP of images per grid step.
 
     Weight/bias/norm grads for the whole group are summed into local
@@ -254,7 +330,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
             x_ref[j], do_ref[j].astype(jnp.float32), scale_ln, bias_ln,
             w_ref, bq_ref, wp_ref, dx_ref, j,
             ctx_ref[j], m_ref[j], rs_ref[j],
-            scale=scale, heads=heads,
+            scale=scale, heads=heads, qspec=qspec,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -279,49 +355,69 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
 
 
 def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
-                   dx_ref, j, o, m_all, rs_all, *, scale, heads):
+                   dx_ref, j, o, m_all, rs_all, *, scale, heads,
+                   qspec=None):
     """Backward for one image.  ``o`` (N, C), ``m_all``/``rs_all``
     (H, N) are forward residuals: the pre-projection context and the
     softmax rowmax / reciprocal-rowsum, so the backward recomputes only
-    the QKV projection and the score dots (no reductions, no PV dots)."""
+    the QKV projection and the score dots (no reductions, no PV dots).
+
+    Quant path: the sites are straight-through, so only the RECOMPUTED
+    forward intermediates change (same snaps as the forward); dots keep
+    the forward's precisions (all HIGHEST, like the forward)."""
     dtype = x.dtype
     c = x.shape[-1]
     d = c // heads
+    p_hi = _HIGHEST if qspec else None
+    p_core = _HIGHEST if qspec else None
     # ---- recompute forward (projection + scores only) ----
-    qkv, xn, xhat, rstd = _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref)
+    qkv, xn, xhat, rstd = _qkv_rows(
+        x, scale_ln, bias_ln, w_ref, bq_ref, qspec
+    )
     dob = do.astype(dtype)
 
     # d_o (N, C) = do @ Wp^T
-    d_o = _dot(dob, wp_ref[...], ((1,), (1,)))  # (N, C) fp32
+    d_o = _dot(dob, wp_ref[...], ((1,), (1,)), precision=p_hi)
 
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
         q = qkv[:, h * d:(h + 1) * d]
         k = qkv[:, c + h * d:c + (h + 1) * d]
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-        qs = (q.astype(jnp.float32) * scale).astype(dtype)
-        s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
         m = m_all[h][:, None]   # (N, 1) stored rowmax
         rs = rs_all[h][:, None]  # (N, 1) stored 1/rowsum
+        if qspec is not None:
+            s = _dot(q, k, ((1,), (1,)), precision=p_core) \
+                * jnp.float32(scale)
+        else:
+            qs = (q.astype(jnp.float32) * scale).astype(dtype)
+            s = _dot(qs, k, ((1,), (1,)))  # (N, N) fp32
         e = jnp.exp(s - m)
         eb = e.astype(dtype)
 
         d_oh = d_o[:, h * d:(h + 1) * d]  # (N, D) fp32
         du = (d_oh * rs).astype(dtype)  # normalized head-output grad
         # dv (Nk, D) = p^T @ d_oh = e^T @ (d_oh * rs)
-        dv_parts.append(_dot(eb, du, ((0,), (0,))))
+        dv_parts.append(_dot(eb, du, ((0,), (0,)), precision=p_core))
         # softmax backward in p-form without materializing p:
         # exact ds = p*(dp_raw - rowsum(dp_raw*p)) with p = e*rs and
         # dp_raw = d_oh @ v^T.  Using du = d_oh*rs gives dp = dp_raw*rs,
         # and rowsum(dp*e) = rowsum(dp_raw*p), so
         # ds = e*dp - p*rowsum(dp*e) = e * (dp - rs*rowsum(dp*e)).
-        dp = _dot(du, v, ((1,), (1,)))  # (N, N), rows pre-scaled by rs
+        dp = _dot(du, v, ((1,), (1,)), precision=p_core)
         r_row = jnp.sum(dp * e, axis=-1, keepdims=True)
         dsm = e * (dp - r_row * rs)
         dsb = dsm.astype(dtype)
-        # s = scale * (q @ k^T):  dq = scale*(ds @ k); dk = ds^T @ qs
-        dq_parts.append(_dot(dsb, k, ((1,), (0,))) * scale)
-        dk_parts.append(_dot(dsb, qs, ((0,), (0,))))
+        # s = scale * (q @ k^T):  dq = scale*(ds @ k); dk = ds^T @ q*scale
+        dq_parts.append(
+            _dot(dsb, k, ((1,), (0,)), precision=p_core) * scale
+        )
+        if qspec is not None:
+            dk_parts.append(
+                _dot(dsb, q, ((0,), (0,)), precision=p_core) * scale
+            )
+        else:
+            dk_parts.append(_dot(dsb, qs, ((0,), (0,))))
 
     dqkv = jnp.concatenate(
         dq_parts + dk_parts + dv_parts, axis=-1
@@ -329,13 +425,13 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     dqkvb = dqkv.astype(dtype)
 
     # ---- projection weight grads ----
-    dwp = _dot(o, dob, ((0,), (0,)))  # (C, C)
+    dwp = _dot(o, dob, ((0,), (0,)), precision=p_hi)  # (C, C)
     dbp = jnp.sum(do, axis=0)
 
     # ---- qkv projection backward ----
-    dw = _dot(xn, dqkvb, ((0,), (0,)))  # (C, 3C)
+    dw = _dot(xn, dqkvb, ((0,), (0,)), precision=p_hi)  # (C, 3C)
     dbq = jnp.sum(dqkv, axis=0)  # (3C,)
-    dxn = _dot(dqkvb, w_ref[...], ((1,), (1,)))  # (N, C)
+    dxn = _dot(dqkvb, w_ref[...], ((1,), (1,)), precision=p_hi)
 
     # ---- LayerNorm backward ----
     dscale = jnp.sum(dxn * xhat, axis=0)
@@ -349,23 +445,28 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     return dscale, dbias, dw, dbq, dwp, dbp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
-                          heads, scale):
+                          heads, scale, qspec=None):
     """x + proj(MHA(qkv(LN(x)))) over (B, N, C).
 
     wqkv: (C, 3C) fused projection (feature order [3][h][d], the timm/
-    reference layout); wp: (C, C); heads/scale static.
+    reference layout); wp: (C, C); heads/scale static.  ``qspec``:
+    None (FP32) or the static ``(exp_bits, man_bits, all_sites)`` of a
+    stateless quant format — weights must arrive already fake-quantized
+    (the caller's STE handles their gradient).
     """
     return _attn_forward(
-        x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale
+        x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
+        qspec=qspec,
     )
 
 
-def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale):
+def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
+              qspec):
     out, ctx, m, rs = _attn_forward(
         x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-        save_stats=True,
+        save_stats=True, qspec=qspec,
     )
     return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs)
 
@@ -388,7 +489,7 @@ def _bwd_group(b: int) -> int:
     return 1
 
 
-def _bwd_rule(heads, scale, res, do):
+def _bwd_rule(heads, scale, qspec, res, do):
     x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs = res
     b, n, c = x.shape
     d = c // heads
@@ -405,7 +506,7 @@ def _bwd_rule(heads, scale, res, do):
     f32 = jnp.float32
     dx, dscale, dbias, dw, dbq, dwp, dbp = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, scale=scale, heads=heads, group=g
+            _bwd_kernel, scale=scale, heads=heads, group=g, qspec=qspec
         ),
         grid=(b // g,),
         in_specs=[

@@ -21,8 +21,13 @@ read-modify-write accumulation safe); dx combines the residual, LayerNorm
 and matmul paths in-kernel.
 
 Used by the FP32 (non-quantized) fast path of FeedForward
-(models/vit.py); the quant-simulation path keeps discrete fake-quant
-sites and stays on the unfused implementation.
+(models/vit.py).  Stateless quantization formats (FP16_16 / FP16_32 /
+TF32) run the same kernels with ``qspec=(exp_bits, man_bits,
+all_sites)``: float-format snaps applied in-kernel at the discrete-site
+positions (QLayerNorm/QDense/QGelu ActQuant sites), fp32 activations,
+Precision.HIGHEST dots, and the exact-divide polynomial GELU shared with
+the unfused QGelu — see ops/fused_attention_block.py for the design
+note.  PyTorchINT8 (stateful observers) keeps the unfused path.
 """
 from __future__ import annotations
 
@@ -34,8 +39,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from myrtle_vision_tpu.ops.fake_quant import float_quantize
+
 _EPS = 1e-5
 _SQRT_2 = 1.4142135623730951
+# Mosaic implements only DEFAULT and HIGHEST dot precisions; HIGHEST
+# (exact fp32 contraction) is what the discrete quant path uses too
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _snap(x, qspec):
+    """pre_linear-site snap (all stateless float formats)."""
+    if qspec is None:
+        return x
+    return float_quantize(x, qspec[0], qspec[1])
+
+
+def _snap_all(x, qspec):
+    """post_op/functional/gelu-site snap (FP16_16 only)."""
+    if qspec is None or not qspec[2]:
+        return x
+    return float_quantize(x, qspec[0], qspec[1])
 
 
 def _interpret() -> bool:
@@ -65,12 +89,13 @@ def _recip_f32(y):
     return r * (2.0 - y * r)
 
 
-def _erf_f32(x):
+def _erf_f32(x, recip=None):
     """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7) — Pallas TPU
     has no erf lowering; this is exact at bf16 activation resolution."""
+    recip = recip or _recip_f32
     s = jnp.sign(x)
     ax = jnp.abs(x)
-    t = _recip_f32(1.0 + 0.3275911 * ax)
+    t = recip(1.0 + 0.3275911 * ax)
     poly = t * (
         0.254829592
         + t * (
@@ -81,41 +106,75 @@ def _erf_f32(x):
     return s * (1.0 - poly * jnp.exp(-ax * ax))
 
 
-def _gelu_f32(h):
+def _gelu_f32(h, recip=None):
     hf = h.astype(jnp.float32)
-    return 0.5 * hf * (1.0 + _erf_f32(hf / _SQRT_2))
+    return 0.5 * hf * (1.0 + _erf_f32(hf / _SQRT_2, recip))
 
 
-def _gelu_and_grad_f32(h):
+def _exact_div(y):
+    return 1.0 / y
+
+
+def gelu_erf_poly(x):
+    """Polynomial-erf GELU with EXACT division — the quantized-format
+    GELU, shared by the fused quant kernels and the unfused QGelu
+    (models/vit.py) so the two paths agree bit for bit.  The 1.5e-7 erf
+    polynomial error sits ~3 decades below the formats' 11-bit mantissa
+    resolution; the true-fp32 FP32 diagnostic path keeps jax.nn.gelu."""
+    return _gelu_f32(x, recip=_exact_div)
+
+
+def _gelu_and_grad_f32(h, recip=None):
     """(gelu(h), gelu'(h)) sharing ONE erf evaluation — the backward
     needs both, and erf (poly + reciprocal + exp) dominates the VPU cost
     of the recompute."""
     hf = h.astype(jnp.float32)
-    cdf = 0.5 * (1.0 + _erf_f32(hf / _SQRT_2))
+    cdf = 0.5 * (1.0 + _erf_f32(hf / _SQRT_2, recip))
     pdf = jnp.exp(-0.5 * jax.lax.square(hf)) * 0.3989422804014327
     return hf * cdf, cdf + hf * pdf
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, group):
+                o_ref, *, group, qspec):
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
+    prec = _HIGHEST if qspec else None
 
     def fc1(j):
         x = x_ref[j]  # (N, C)
-        xn, _, _ = _layernorm_f32(x, scale, bias)
+        # ffn_norm.act_in (pre_linear) / act_out (post_op) /
+        # fc1.act_in (pre_linear) sites
+        xn, _, _ = _layernorm_f32(_snap(x, qspec), scale, bias)
+        xn = _snap(_snap_all(xn, qspec), qspec)
         xn = xn.astype(x.dtype)
-        return jnp.dot(
-            xn, w1_ref[...], preferred_element_type=jnp.float32
+        h = jnp.dot(
+            xn, w1_ref[...], preferred_element_type=jnp.float32,
+            precision=prec,
         ) + b1_ref[...].astype(jnp.float32)
+        # fc1.act_out (post_op) + gelu.act_in (gelu_in) sites
+        return _snap_all(h, qspec)
 
     def fc2(j, g):
         x = x_ref[j]
         y = (
-            jnp.dot(g, w2_ref[...], preferred_element_type=jnp.float32)
+            jnp.dot(
+                g, w2_ref[...], preferred_element_type=jnp.float32,
+                precision=prec,
+            )
             + b2_ref[...].astype(jnp.float32)
         )
-        o_ref[j] = (x.astype(jnp.float32) + y).astype(o_ref.dtype)
+        y = _snap_all(y, qspec)  # fc2.act_out (post_op)
+        out = x.astype(jnp.float32) + y
+        out = _snap_all(out, qspec)  # ffn_res (functional)
+        o_ref[j] = out.astype(o_ref.dtype)
+
+    def gelu(h):
+        if qspec is not None:
+            # gelu_out + fc2.act_in sites around the shared exact-divide
+            # polynomial GELU (see gelu_erf_poly)
+            g = gelu_erf_poly(h)
+            return _snap(_snap_all(g, qspec), qspec)
+        return _gelu_f32(h)
 
     # software-pipelined over images: fc1 of image j+1 (MXU) is issued
     # before the GELU of image j (VPU) so the units overlap (measured
@@ -123,27 +182,33 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h_prev = fc1(0)
     for j in range(group):
         h_next = fc1(j + 1) if j + 1 < group else None
-        fc2(j, _gelu_f32(h_prev).astype(x_ref.dtype))
+        fc2(j, gelu(h_prev).astype(x_ref.dtype))
         h_prev = h_next
 
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 do_ref, dx_ref, ds_ref, db_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, *, group):
+                dw2_ref, db2_ref, *, group, qspec):
     i = pl.program_id(0)
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
+    prec = _HIGHEST if qspec else None
 
     def recompute(j):
-        """Stage A: LN + fc1 recompute for image j (MXU-heavy)."""
+        """Stage A: LN + fc1 recompute for image j (MXU-heavy), with the
+        quant-path snaps at the same sites as the forward."""
         x = x_ref[j]
-        ln_out, xhat, rstd = _layernorm_f32(x, scale, bias)
+        ln_out, xhat, rstd = _layernorm_f32(_snap(x, qspec), scale, bias)
+        ln_out = _snap(_snap_all(ln_out, qspec), qspec)
         xn = ln_out.astype(x.dtype)
         h = (
-            jnp.dot(xn, w1_ref[...], preferred_element_type=jnp.float32)
+            jnp.dot(
+                xn, w1_ref[...], preferred_element_type=jnp.float32,
+                precision=prec,
+            )
             + b1_ref[...].astype(jnp.float32)
         )
-        return xn, xhat, rstd, h
+        return xn, xhat, rstd, _snap_all(h, qspec)
 
     # software-pipelined over images: image j+1's LN+fc1 recompute (MXU)
     # is issued before image j's GELU+grad evaluation (VPU)
@@ -153,7 +218,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         a_next = recompute(j + 1) if j + 1 < group else None
         grads = _bwd_one_image(
             x_ref[j], do_ref[j].astype(jnp.float32), scale, bias,
-            w1_ref, w2_ref, dx_ref, j, a_prev,
+            w1_ref, w2_ref, dx_ref, j, a_prev, qspec,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -179,32 +244,39 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
-                   recomputed):
+                   recomputed, qspec=None):
     # forward intermediates recomputed by the pipelined stage A
     xn, xhat, rstd, h = recomputed
-    g_f32, ggrad = _gelu_and_grad_f32(h)
+    prec = _HIGHEST if qspec else None
+    if qspec is not None:
+        g_f32, ggrad = _gelu_and_grad_f32(h, recip=_exact_div)
+        # gelu_out + fc2.act_in snaps: dw2 contracts against the actual
+        # fc2 input; the sites are straight-through for dg/dh
+        g_f32 = _snap(_snap_all(g_f32, qspec), qspec)
+    else:
+        g_f32, ggrad = _gelu_and_grad_f32(h)
     g = g_f32.astype(x.dtype)
 
     dob = do.astype(x.dtype)
     # fc2 backward (contractions written to avoid explicit transposes)
     dw2 = jax.lax.dot_general(
         g, dob, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dg = jax.lax.dot_general(
         dob, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dh = dg * ggrad
     dhb = dh.astype(x.dtype)
     # fc1 backward
     dw1 = jax.lax.dot_general(
         xn, dhb, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     dxn = jax.lax.dot_general(
         dhb, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     # LayerNorm backward (wrt pre-norm x)
     dscale = jnp.sum(dxn * xhat, axis=0)
@@ -268,7 +340,7 @@ def _as_3d(x):
     return x.reshape(-1, *x.shape[-2:]), x.shape
 
 
-def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
+def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None):
     x3, orig_shape = _as_3d(x)
     b, n, d = x3.shape
     hidden = w1.shape[-1]
@@ -278,7 +350,7 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
     row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, group=g),
+        functools.partial(_fwd_kernel, group=g, qspec=qspec),
         grid=(b // g,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d],
         out_specs=row,
@@ -292,23 +364,25 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2):
     return out.reshape(orig_shape)
 
 
-@jax.custom_vjp
-def fused_mlp_block(x, scale, bias, w1, b1, w2, b2):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, qspec=None):
     """x + fc2(gelu(fc1(LN(x)))) over (..., N, D) with weights (D, H),
     (H, D).
 
     Params may be fp32; compute runs in x.dtype with fp32 accumulation,
     matching the unfused QLayerNorm/QDense/QGelu composition in FP32 mode.
+    ``qspec``: None or the static (exp_bits, man_bits, all_sites) of a
+    stateless quant format — weights must arrive already fake-quantized.
     """
-    return _mlp_forward(x, scale, bias, w1, b1, w2, b2)
+    return _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec)
 
 
-def _fwd_rule(x, scale, bias, w1, b1, w2, b2):
-    out = _mlp_forward(x, scale, bias, w1, b1, w2, b2)
+def _fwd_rule(x, scale, bias, w1, b1, w2, b2, qspec):
+    out = _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec)
     return out, (x, scale, bias, w1, b1, w2, b2)
 
 
-def _bwd_rule(res, do):
+def _bwd_rule(qspec, res, do):
     x, scale, bias, w1, b1, w2, b2 = res
     x3, orig_shape = _as_3d(x)
     do3, _ = _as_3d(do)
@@ -320,7 +394,7 @@ def _bwd_rule(res, do):
 
     f32 = jnp.float32
     dx, dscale, dbias, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, group=g),
+        functools.partial(_bwd_kernel, group=g, qspec=qspec),
         grid=(b // g,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d, row],
         out_specs=(

@@ -10,7 +10,7 @@ from myrtle_vision_tpu.models.vit import ViT
 from myrtle_vision_tpu.quantize import QFormat
 
 
-def run(decoder, fmt=QFormat.FP32):
+def build_model(decoder, fmt=QFormat.FP32):
     model = ViT(
         decoder=decoder, image_size=80, patch_size=16, num_classes=4,
         dim=32, depth=2, heads=2, mlp_dim=64, dim_head=16,
@@ -20,6 +20,11 @@ def run(decoder, fmt=QFormat.FP32):
         np.linspace(-1, 1, 80 * 80 * 3).reshape(1, 80, 80, 3), jnp.float32
     )
     variables = model.init(jax.random.PRNGKey(42), img)
+    return model, variables, img
+
+
+def run(decoder, fmt=QFormat.FP32):
+    model, variables, img = build_model(decoder, fmt)
     return model.apply(variables, img)
 
 
@@ -93,3 +98,67 @@ def test_int8_golden():
         [0.375652, -0.020041, -0.690135, -0.167261],
         rtol=2e-4, atol=2e-4,
     )
+
+
+class TestFusedQuantBitIdentity:
+    """The stateless quant formats run IN-KERNEL fake-quant sites on the
+    fused Pallas path (VERDICT r2 #1); the fused and discrete-site
+    compositions must agree BIT FOR BIT — same snaps at the same
+    positions, same dot precisions, same exact-divide softmax/GELU."""
+
+    def _logits(self, fmt, no_fuse, monkeypatch):
+        if no_fuse:
+            monkeypatch.setenv("MVT_NO_FUSE", "1")
+        else:
+            monkeypatch.delenv("MVT_NO_FUSE", raising=False)
+        # BOTH paths jitted (a fresh jit wrapper per call so MVT_NO_FUSE
+        # is re-read at trace time): production always runs under jit,
+        # and un-jitted eager execution compiles each op as its own XLA
+        # program with different fusion/FMA contraction — the discrete
+        # path's EAGER bits differ from its own jitted bits by ~1e-5,
+        # while jitted-fused vs jitted-discrete agree exactly
+        model, variables, img = build_model("classification", fmt)
+        return np.asarray(jax.jit(model.apply)(variables, img))
+
+    @staticmethod
+    def _fmts():
+        return [QFormat.FP16_16, QFormat.FP16_32, QFormat.TF32]
+
+    def test_forward_bit_identical(self, monkeypatch):
+        for fmt in self._fmts():
+            fused = self._logits(fmt, False, monkeypatch)
+            discrete = self._logits(fmt, True, monkeypatch)
+            np.testing.assert_array_equal(
+                fused, discrete, err_msg=f"{fmt.name} fused != discrete"
+            )
+
+    def test_gradients_match(self, monkeypatch):
+        # gradients are not claimed bit-identical (the fused backward
+        # uses the p-form softmax algebra) but must agree tightly
+        for fmt in [QFormat.FP16_32, QFormat.FP16_16]:
+            model = ViT(
+                decoder="classification", image_size=80, patch_size=16,
+                num_classes=4, dim=32, depth=2, heads=2, mlp_dim=64,
+                dim_head=16, q_format=fmt, dtype=jnp.float32,
+            )
+            img = jnp.asarray(
+                np.linspace(-1, 1, 2 * 80 * 80 * 3).reshape(2, 80, 80, 3),
+                jnp.float32,
+            )
+            variables = model.init(jax.random.PRNGKey(0), img)
+
+            def loss(params):
+                out = model.apply({"params": params}, img)
+                return jnp.sum(out * out)
+
+            monkeypatch.delenv("MVT_NO_FUSE", raising=False)
+            g_fused = jax.grad(loss)(variables["params"])
+            monkeypatch.setenv("MVT_NO_FUSE", "1")
+            g_disc = jax.grad(loss)(variables["params"])
+            flat_f = jax.tree_util.tree_leaves_with_path(g_fused)
+            flat_d = jax.tree_util.tree_leaves(g_disc)
+            for (path, a), b in zip(flat_f, flat_d):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    err_msg=f"{fmt.name} grad {path}",
+                )
