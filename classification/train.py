@@ -152,12 +152,22 @@ def train(config):
         label_map_path=data_config["label_map"],
         transform_config=data_config["transform_ops_val"],
     )
+    # multi-host: every process computes the same global permutation and
+    # decodes only its contiguous block of each global micro-batch
+    # (reference DistributedSampler semantics, train.py:116);
+    # prefetch_to_device assembles the global sharded array from the
+    # per-process blocks
+    pid, pcount = jax.process_index(), jax.process_count()
     train_loader = DataLoader(
         trainset,
         batch_size=step_batch,
         shuffle=True,
         seed=seed,
-        drop_last=train_config["drop_last_batch"],
+        drop_last=(
+            train_config["drop_last_batch"] if pcount == 1 else True
+        ),
+        process_shard=(pid, pcount) if pcount > 1 else None,
+        accum_steps=n_batch_accum,
     )
     val_loader = DataLoader(
         valset,
@@ -251,14 +261,20 @@ def train(config):
         )
         return loss
 
+    # multi-host: the host batch holds only this process's rows; the
+    # reshape therefore targets the LOCAL micro-batch and
+    # prefetch_to_device scales the batch dim back up when assembling the
+    # global array
+    feed_micro_batch = global_micro_batch // pcount
+
     def reshape(batch):
         return {
             "image": batch["image"].reshape(
-                (n_batch_accum, global_micro_batch)
+                (n_batch_accum, feed_micro_batch)
                 + batch["image"].shape[1:]
             ),
             "label": batch["label"].reshape(
-                (n_batch_accum, global_micro_batch)
+                (n_batch_accum, feed_micro_batch)
             ),
         }
 
@@ -278,14 +294,30 @@ def train(config):
             train_loader.epoch(epoch), sharding=batch_shard, reshape=reshape
         )
         for batch in batches:
-            if iteration % iters_per_checkpoint == 0:
+            # checkpointing and validation are main-process work (the
+            # reference's rank-0 guard, train.py:203-237); params are
+            # replicated over the data axis so process 0 addresses them
+            if iteration % iters_per_checkpoint == 0 and pid == 0:
                 checkpoint_path = f"{output_directory}/vit_{iteration:06}"
                 save_checkpoint(state, checkpoint_path)
-            if iteration % iters_per_val == 0:
+            if iteration % iters_per_val == 0 and pid == 0:
                 eval_state = state
-                if distiller is not None:
+                if pcount > 1:
+                    # localize the (data-replicated) params so the eval
+                    # jit runs on this process's devices only — mixing
+                    # global-mesh arrays with host-local eval batches is
+                    # not addressable
                     eval_state = state.replace(
-                        params=state.params["student"]
+                        params=jax.tree_util.tree_map(
+                            np.asarray, state.params
+                        ),
+                        quant=jax.tree_util.tree_map(
+                            np.asarray, state.quant
+                        ),
+                    )
+                if distiller is not None:
+                    eval_state = eval_state.replace(
+                        params=eval_state.params["student"]
                     )
                 last_val_loss, last_val_acc = validation(
                     predict_fn,
@@ -304,8 +336,14 @@ def train(config):
             acc = float(metrics["acc"])
             epoch_loss += loss / steps_per_epoch
             epoch_acc += acc / steps_per_epoch
-            print(f"Iteration {iteration}:\tloss={loss:.4f}\tacc={acc:.4f}")
+            if pid == 0:
+                print(
+                    f"Iteration {iteration}:\tloss={loss:.4f}\t"
+                    f"acc={acc:.4f}"
+                )
 
+        if pid != 0:
+            continue
         print(
             f"Epoch : {epoch + 1} - loss : {epoch_loss:.4f} - "
             f"acc: {epoch_acc:.4f} - "
@@ -316,7 +354,8 @@ def train(config):
 
     profiler.close()
     # final checkpoint
-    save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
+    if pid == 0:
+        save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
 
 
 if __name__ == "__main__":

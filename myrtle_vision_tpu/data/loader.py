@@ -42,6 +42,8 @@ class DataLoader:
         prefetch_batches: int = 2,
         collate_fn=None,
         pad_last: bool = False,
+        process_shard=None,
+        accum_steps: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -53,6 +55,33 @@ class DataLoader:
         # "_n_valid" so consumers can mask — eval then compiles ONE shape
         # instead of paying an extra XLA compile for the tail shape.
         self.pad_last = pad_last
+        # process_shard=(process_index, process_count) makes this loader a
+        # MULTI-HOST feeder: every process computes the identical global
+        # permutation (same seed), then decodes ONLY its contiguous block
+        # of each global micro-batch — the multi-host analogue of the
+        # reference's DistributedSampler (classification/train.py:116).
+        # ``accum_steps`` gives the grad-accumulation layout: a batch of
+        # ``batch_size`` indices is (accum_steps, batch_size/accum_steps)
+        # and each process owns columns [p*l, (p+1)*l) of every row, so
+        # the rows each process yields land exactly where the mesh's
+        # process-major device order expects them
+        # (jax.make_array_from_process_local_data in prefetch_to_device).
+        if process_shard is not None:
+            pid, pcount = process_shard
+            if pcount > 1 and not drop_last:
+                raise ValueError(
+                    "process_shard requires drop_last=True (a ragged "
+                    "final batch cannot be evenly sharded over processes)"
+                )
+            micro = batch_size // accum_steps
+            if batch_size % accum_steps or micro % pcount:
+                raise ValueError(
+                    f"batch_size {batch_size} must split into "
+                    f"accum_steps={accum_steps} x process-divisible "
+                    f"micro-batches (processes={pcount})"
+                )
+        self.process_shard = process_shard
+        self.accum_steps = accum_steps
         self.num_workers = max(1, num_workers)
         self.prefetch_batches = prefetch_batches
         self.collate_fn = collate_fn or _collate
@@ -99,6 +128,13 @@ class DataLoader:
                     idxs = np.concatenate(
                         [idxs, np.repeat(idxs[-1], self.batch_size - n_valid)]
                     )
+                if self.process_shard is not None:
+                    pid, pcount = self.process_shard
+                    local = len(idxs) // self.accum_steps // pcount
+                    idxs = idxs.reshape(self.accum_steps, -1)[
+                        :, pid * local:(pid + 1) * local
+                    ].reshape(-1)
+                    n_valid = len(idxs)
                 pending.append(
                     (n_valid, [pool.submit(fetch, i) for i in idxs])
                 )
@@ -133,16 +169,31 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=size)
     END = object()
 
+    multiproc = jax.process_count() > 1
+
+    def put(batch):
+        if sharding is None:
+            return jax.device_put(batch)
+        if multiproc:
+            # each process holds only its LOCAL rows (DataLoader
+            # process_shard); assemble the global sharded array from the
+            # per-process blocks — device_put of a host-local array with
+            # a multi-process sharding is not addressable
+            return jax.tree_util.tree_map(
+                lambda leaf, shard: jax.make_array_from_process_local_data(
+                    shard, np.asarray(leaf)
+                ),
+                batch,
+                sharding,
+            )
+        return jax.device_put(batch, sharding)
+
     def producer():
         try:
             for batch in iterator:
                 if reshape is not None:
                     batch = reshape(batch)
-                if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
-                else:
-                    batch = jax.device_put(batch)
-                q.put(batch)
+                q.put(put(batch))
         except BaseException as e:  # surface worker errors to the consumer
             q.put(e)
             return
