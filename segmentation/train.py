@@ -131,12 +131,19 @@ def train(config):
         label_map_path=data_config["label_map"],
         transform_config=data_config["transform_ops_val"],
     )
+    # multi-host: identical global permutation on every process, each
+    # decodes only its block (see classification/train.py)
+    pid, pcount = jax.process_index(), jax.process_count()
     train_loader = DataLoader(
         trainset,
         batch_size=step_batch,
         shuffle=True,
         seed=seed,
-        drop_last=train_config["drop_last_batch"],
+        drop_last=(
+            train_config["drop_last_batch"] if pcount == 1 else True
+        ),
+        process_shard=(pid, pcount) if pcount > 1 else None,
+        accum_steps=n_batch_accum,
     )
     val_loader = DataLoader(
         valset,
@@ -189,9 +196,11 @@ def train(config):
     )
     predict_fn = make_predict_fn(vit)
 
+    feed_micro_batch = global_micro_batch // pcount
+
     def reshape(batch):
         return {
-            k: v.reshape((n_batch_accum, global_micro_batch) + v.shape[1:])
+            k: v.reshape((n_batch_accum, feed_micro_batch) + v.shape[1:])
             for k, v in batch.items()
         }
 
@@ -210,14 +219,25 @@ def train(config):
         for batch in prefetch_to_device(
             train_loader.epoch(epoch), sharding=batch_shard, reshape=reshape
         ):
-            if iteration % iters_per_checkpoint == 0:
+            # main-process work (reference rank-0 guard)
+            if iteration % iters_per_checkpoint == 0 and pid == 0:
                 save_checkpoint(
                     state, f"{output_directory}/vit_{iteration:06}"
                 )
-            if iteration % iters_per_val == 0:
+            if iteration % iters_per_val == 0 and pid == 0:
+                eval_state = state
+                if pcount > 1:
+                    eval_state = state.replace(
+                        params=jax.tree_util.tree_map(
+                            np.asarray, state.params
+                        ),
+                        quant=jax.tree_util.tree_map(
+                            np.asarray, state.quant
+                        ),
+                    )
                 last_val_loss, last_val_acc = validation(
-                    predict_fn, state, val_loader, n_classes, iteration,
-                    writer,
+                    predict_fn, eval_state, val_loader, n_classes,
+                    iteration, writer,
                 )
 
             state, metrics = train_step(
@@ -228,8 +248,14 @@ def train(config):
             loss, acc = float(metrics["loss"]), float(metrics["acc"])
             epoch_loss += loss / steps_per_epoch
             epoch_acc += acc / steps_per_epoch
-            print(f"Iteration {iteration}:\tloss={loss:.4f}\tacc={acc:.4f}")
+            if pid == 0:
+                print(
+                    f"Iteration {iteration}:\tloss={loss:.4f}\t"
+                    f"acc={acc:.4f}"
+                )
 
+        if pid != 0:
+            continue
         print(
             f"Epoch : {epoch + 1} - loss : {epoch_loss:.4f} - "
             f"acc: {epoch_acc:.4f} - "
@@ -239,7 +265,8 @@ def train(config):
         )
 
     profiler.close()
-    save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
+    if pid == 0:
+        save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
     writer.flush()
 
 
