@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from myrtle_vision_tpu.data.loader import DataLoader
+from myrtle_vision_tpu.data.loader import DataLoader, shard_host_batch
 from myrtle_vision_tpu.parallel.collectives import initialize_multihost
 from myrtle_vision_tpu.datasets.coco import CocoDetection
 from myrtle_vision_tpu.models.detector import build_weight_dict
@@ -115,13 +115,20 @@ def train(config):
         T.from_config(data_config["transform_ops_val"]),
         subset=data_config.get("valid_subset"),
     )
+    # multi-host: identical global permutation on every process, each
+    # decodes only its block (see classification/train.py)
+    pid, pcount = jax.process_index(), jax.process_count()
     train_loader = DataLoader(
         trainset,
         batch_size=step_batch,
         shuffle=True,
         seed=seed,
-        drop_last=train_config["drop_last_batch"],
+        drop_last=(
+            train_config["drop_last_batch"] if pcount == 1 else True
+        ),
         collate_fn=collate,
+        process_shard=(pid, pcount) if pcount > 1 else None,
+        accum_steps=n_batch_accum,
     )
     val_loader = DataLoader(
         valset,
@@ -171,6 +178,11 @@ def train(config):
     }
     split_match = use_split_matching()
     if split_match:
+        if pcount > 1:
+            raise NotImplementedError(
+                "split matching (single-chip axon runtime workaround) "
+                "is incompatible with multi-process meshes"
+            )
         batch_shard["src_idx"] = data_spec
         match_fn = make_match_fn(vit)
     train_step = make_train_step(
@@ -205,7 +217,7 @@ def train(config):
         for batch in train_loader.epoch(epoch):
             step_in = {
                 k: batch[k].reshape(
-                    (n_batch_accum, global_micro_batch)
+                    (n_batch_accum, global_micro_batch // pcount)
                     + batch[k].shape[1:]
                 )
                 for k in ("image", "labels", "boxes", "valid")
@@ -214,7 +226,7 @@ def train(config):
                 # separate matcher program (see training/detection.py:
                 # make_match_fn for why)
                 step_in["src_idx"] = match_fn(state, step_in)
-            step_in = jax.device_put(step_in, batch_shard)
+            step_in = shard_host_batch(step_in, batch_shard)
             state, metrics = train_step(
                 state, step_in, lr, jax.random.fold_in(rng, iteration)
             )
@@ -222,17 +234,26 @@ def train(config):
             profiler.step(iteration)
             loss = float(metrics["loss"])
             epoch_loss += loss / steps
-            print(
-                f"Iteration {iteration}:\tloss={loss:.4f}\t"
-                f"ce={float(metrics['loss_ce']):.4f}\t"
-                f"bbox={float(metrics['loss_bbox']):.4f}\t"
-                f"giou={float(metrics['loss_giou']):.4f}"
-            )
+            if pid == 0:
+                print(
+                    f"Iteration {iteration}:\tloss={loss:.4f}\t"
+                    f"ce={float(metrics['loss_ce']):.4f}\t"
+                    f"bbox={float(metrics['loss_bbox']):.4f}\t"
+                    f"giou={float(metrics['loss_giou']):.4f}"
+                )
 
-        # per-epoch COCO validation + best-AP checkpointing
-        # (reference train.py:289-319)
+        # per-epoch COCO validation + best-AP checkpointing, main
+        # process only (reference train.py:289-319 rank-0 guard)
+        if pid != 0:
+            continue
+        eval_state = state
+        if pcount > 1:
+            eval_state = state.replace(
+                params=jax.tree_util.tree_map(np.asarray, state.params),
+                quant=jax.tree_util.tree_map(np.asarray, state.quant),
+            )
         evaluator = evaluate_coco(
-            detect_fn, state, val_loader, valset.coco, epoch
+            detect_fn, eval_state, val_loader, valset.coco, epoch
         )
         ap = float(evaluator.stats[0])
         writer.add_scalar("val_AP", ap, epoch)
@@ -247,7 +268,8 @@ def train(config):
             )
 
     profiler.close()
-    save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
+    if pid == 0:
+        save_checkpoint(state, f"{output_directory}/vit_{iteration:06}")
     writer.flush()
 
 

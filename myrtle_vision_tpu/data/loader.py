@@ -159,6 +159,26 @@ def _collate(items):
     return out
 
 
+def shard_host_batch(batch, sharding):
+    """Transfer a host batch to device under ``sharding``.
+
+    Multi-process: each process holds only its LOCAL rows (DataLoader
+    process_shard); assemble the global sharded array from the
+    per-process blocks — device_put of a host-local array with a
+    multi-process sharding is not addressable."""
+    if sharding is None:
+        return jax.device_put(batch)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda leaf, shard: jax.make_array_from_process_local_data(
+                shard, np.asarray(leaf)
+            ),
+            batch,
+            sharding,
+        )
+    return jax.device_put(batch, sharding)
+
+
 def prefetch_to_device(
     iterator, sharding=None, reshape=None, size: int = 2
 ):
@@ -169,24 +189,8 @@ def prefetch_to_device(
     q: queue.Queue = queue.Queue(maxsize=size)
     END = object()
 
-    multiproc = jax.process_count() > 1
-
     def put(batch):
-        if sharding is None:
-            return jax.device_put(batch)
-        if multiproc:
-            # each process holds only its LOCAL rows (DataLoader
-            # process_shard); assemble the global sharded array from the
-            # per-process blocks — device_put of a host-local array with
-            # a multi-process sharding is not addressable
-            return jax.tree_util.tree_map(
-                lambda leaf, shard: jax.make_array_from_process_local_data(
-                    shard, np.asarray(leaf)
-                ),
-                batch,
-                sharding,
-            )
-        return jax.device_put(batch, sharding)
+        return shard_host_batch(batch, sharding)
 
     def producer():
         try:
