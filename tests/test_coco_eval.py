@@ -478,3 +478,96 @@ class TestDifferentialOracle:
             stats = ev.summarize()
         expected = oracle_stats(gt_dict, preds)
         np.testing.assert_allclose(stats, expected, atol=1e-9)
+
+
+class TestPycocotoolsShim:
+    """The refcontrol pycocotools SHIM (tools/refcontrol/shims/
+    pycocotools) driven through the REFERENCE'S OWN CocoEvaluator +
+    vendored evaluate() (reference datasets/coco_eval.py:25-264) must
+    reproduce our evaluator's numbers — this is the exact code path the
+    detection cross-stack control runs."""
+
+    @pytest.fixture()
+    def ref_eval(self):
+        import os
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        shims = os.path.join(repo, "tools", "refcontrol", "shims")
+        for p in (shims, "/root/reference/src"):
+            if p not in sys.path:
+                sys.path.insert(0, p)
+        torch = pytest.importorskip("torch")
+        from myrtle_vision.datasets import coco_eval as ref_coco_eval
+        from pycocotools.coco import COCO
+
+        def run(gt_dict, preds):
+            import contextlib
+            import io
+
+            coco_gt = COCO(
+                {k: v for k, v in gt_dict.items()}
+            )
+            ev = ref_coco_eval.CocoEvaluator(coco_gt, ["bbox"])
+            for img_id, p in preds.items():
+                ev.update(
+                    {
+                        img_id: {
+                            "boxes": torch.as_tensor(
+                                np.asarray(p["boxes"], np.float64)
+                            ).reshape(-1, 4),
+                            "scores": torch.as_tensor(
+                                np.asarray(p["scores"], np.float64)
+                            ),
+                            "labels": torch.as_tensor(
+                                np.asarray(p["labels"], np.int64)
+                            ),
+                        }
+                    }
+                )
+            ev.synchronize_between_processes()
+            ev.accumulate()
+            with contextlib.redirect_stdout(io.StringIO()):
+                ev.summarize()
+            return np.asarray(ev.coco_eval["bbox"].stats)
+
+        return run
+
+    def test_golden_fixture_through_reference_evaluator(self, ref_eval):
+        import contextlib
+        import io
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(__file__), "data", "coco_golden.json"
+        )
+        with open(path) as f:
+            fx = json.load(f)
+        preds = {
+            int(i): {
+                "boxes": p["boxes_xyxy"],
+                "scores": p["scores"],
+                "labels": p["labels"],
+            }
+            for i, p in fx["predictions"].items()
+        }
+        stats = ref_eval(fx["gt"], preds)
+        np.testing.assert_allclose(
+            stats, np.asarray(fx["expected_stats"]), atol=1e-9
+        )
+
+    @pytest.mark.parametrize("seed", range(3))
+    def test_random_scenarios_match_our_evaluator(self, ref_eval, seed):
+        import contextlib
+        import io
+
+        gt_dict, preds = random_scenario(seed)
+        ours = CocoEvaluator(CocoIndex(gt_dict))
+        ours.update(preds)
+        with contextlib.redirect_stdout(io.StringIO()):
+            stats_ours = ours.summarize()
+        stats_shim = ref_eval(gt_dict, preds)
+        np.testing.assert_allclose(
+            stats_shim, stats_ours, atol=1e-9, err_msg=f"seed={seed}"
+        )

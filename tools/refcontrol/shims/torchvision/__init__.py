@@ -13,4 +13,10 @@ Transform semantics follow torchvision's documented behavior (PIL
 bilinear resize, area/ratio-sampled RandomResizedCrop with central
 fallback, torch-RNG randomness so seed_everything applies).
 """
-from . import models, transforms  # noqa: F401
+from . import datasets, models, ops, transforms  # noqa: F401
+
+
+def _is_tracing():
+    """torchvision._is_tracing (reference transforms/detection.py:62) —
+    always False outside torch.jit tracing."""
+    return False

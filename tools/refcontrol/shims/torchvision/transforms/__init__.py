@@ -1,4 +1,5 @@
 """torchvision.transforms shim (PIL + torch, torchvision semantics)."""
+import enum
 import math
 
 import numpy as np
@@ -6,6 +7,27 @@ import torch
 from PIL import Image
 
 _BILINEAR = Image.BILINEAR
+
+
+class InterpolationMode(enum.Enum):
+    """torchvision InterpolationMode; .value is the PIL resample int."""
+
+    NEAREST = Image.NEAREST
+    BILINEAR = Image.BILINEAR
+    BICUBIC = Image.BICUBIC
+    LANCZOS = Image.LANCZOS
+
+
+class PILToTensor:
+    """PIL -> uint8 tensor (C, H, W), no scaling (torchvision semantics;
+    reference dlrsd.py uses it for 1-channel segmaps)."""
+
+    def __call__(self, img):
+        arr = np.asarray(img)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        arr = arr.transpose(2, 0, 1)
+        return torch.from_numpy(np.ascontiguousarray(arr))
 
 
 class Compose:
