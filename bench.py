@@ -29,7 +29,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # 1024 measures best on v5e with the row-major kernels (train img/s:
 # 3489 @ 512, 3518 @ 1024); MVT_BENCH_BATCH overrides
 BATCH = int(os.environ.get("MVT_BENCH_BATCH", 1024))
-INNER_ITERS = 50
+# The tunneled TPU server kills any single program execution running
+# longer than ~30-60s ("TPU worker process crashed or restarted" —
+# bisected: FP16_32 train scan x50 @1024 (~64s) faults, x20 @1024 (~26s)
+# and x50 @256 (~16s) both pass).  The quant-sim train path runs ~5x
+# slower than the bf16 path, so its timed loop defaults shorter; 10
+# iterations still amortize the ~0.1ms dispatch to nothing.
+_DEFAULT_INNER = 50 if os.environ.get("MVT_BENCH_QFORMAT", "FP32") == "FP32" else 10
+INNER_ITERS = int(os.environ.get("MVT_BENCH_INNER", _DEFAULT_INNER))
 # headline model is ViT-S/16 (the BASELINE north star); MVT_BENCH_MODEL
 # in {tiny, small, base} for scaling measurements
 MODEL = os.environ.get("MVT_BENCH_MODEL", "small")

@@ -40,6 +40,7 @@ from myrtle_vision_tpu.ops.fused_attention_block import (
     fuses_at,
 )
 from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
+from myrtle_vision_tpu.ops.high_precision import matmul_high3
 from myrtle_vision_tpu.ops.interpolate import resize_bicubic, resize_bilinear
 from myrtle_vision_tpu.quantize import ActQuant, QFormat, quantize_weight
 
@@ -145,11 +146,7 @@ class QDense(nn.Module):
             # no observer statistics: the simulation path would pass x
             # through unquantized (ActQuant's has_stats guard)
             kernel = self.kernel.astype(jnp.float32) * self.kernel_scale
-            return jnp.dot(
-                x.astype(jnp.float32), kernel,
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGH,
-            )
+            return matmul_high3(x.astype(jnp.float32), kernel)
 
         y = jax.lax.cond(has_stats, integer_path, fallback, None)
         if self.use_bias:
@@ -177,22 +174,35 @@ class QDense(nn.Module):
             )
         # quantized-format simulation runs fp32 activations; TPU fp32
         # dots default to ONE bf16 MXU pass, which would crush the
-        # fake-quantized fp16/int8-grid values.  HIGHEST keeps products
-        # of 11-bit-mantissa values exact, matches the fp32 attention
-        # core (ops/attention.py), and is the one non-default fp32 dot
-        # precision Mosaic also implements — so the fused Pallas quant
-        # kernels can be bit-identical with this discrete path.
-        precision = (
-            jax.lax.Precision.HIGHEST
-            if self.q_format != QFormat.FP32
-            else None
-        )
-        y = jnp.dot(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ).astype(self.dtype)
+        # fake-quantized fp16/int8-grid values.  The 3-pass bf16
+        # decomposition (ops/high_precision.py) keeps fp16/tf32-snapped
+        # operands exactly represented, matches the fp32 attention core
+        # (ops/attention.py), and is the SAME function the fused Pallas
+        # quant kernels run — so the two paths are bit-identical by
+        # construction (HIGHEST's 6 passes measured 691 img/s train).
+        # PyTorchINT8 keeps HIGHEST: its simulation is the reference
+        # the converted integer path (exact int32 accumulation) is
+        # tested against at 1e-5, and the 3-pass dropped cross-term is
+        # enough to flip a requant rounding step (one int8 grid step on
+        # the logits); INT8 stays on the unfused path anyway, so the
+        # fused-kernel bit-identity argument doesn't apply to it.
+        if self.q_format == QFormat.PyTorchINT8:
+            y = jnp.dot(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            ).astype(self.dtype)
+        elif self.q_format != QFormat.FP32:
+            y = matmul_high3(
+                x.astype(self.dtype), kernel.astype(self.dtype)
+            ).astype(self.dtype)
+        else:
+            y = jnp.dot(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         if self.use_bias:
             y = y + self.bias.astype(self.dtype)
         return self.act_out(y, calibrating)

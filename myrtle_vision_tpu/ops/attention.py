@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from myrtle_vision_tpu.ops.high_precision import dot_high3
+
 
 
 
@@ -55,27 +57,34 @@ def multi_head_attention(
 
         return flash_attention(q, k, v, scale, seq_valid)
 
-    # fp32 inputs take HIGHEST matmul precision: that's the quant-parity
-    # path, where the reference computes the core in true fp32 (TPU fp32
-    # dots otherwise run bf16 MXU passes)
-    precision = (
-        jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
-    )
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
-        precision=precision,
-    ) * jnp.float32(scale)
+    # fp32 inputs take 3-pass HIGH-grade dots (ops/high_precision.py):
+    # that's the quant-parity path, where the reference computes the
+    # core in true fp32 (TPU fp32 dots otherwise run ONE bf16 MXU
+    # pass); the same decomposition runs inside the fused quant kernels
+    # so the two paths stay bit-identical
+    fp32_core = q.dtype == jnp.float32
+    bdims = (((3,), (3,)), ((0, 1), (0, 1)))
+    if fp32_core:
+        scores = dot_high3(q, k, bdims)
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+    scores = scores * jnp.float32(scale)
     if seq_valid is not None and seq_valid < q.shape[2]:
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
         scores = jnp.where(col < seq_valid, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum(
-        "bhqk,bhkd->bhqd",
-        probs.astype(v.dtype),
-        v,
-        preferred_element_type=jnp.float32,
-        precision=precision,
-    ).astype(v.dtype)
+    pv_dims = (((3,), (2,)), ((0, 1), (0, 1)))
+    if fp32_core:
+        out = dot_high3(probs, v, pv_dims).astype(v.dtype)
+    else:
+        out = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            probs.astype(v.dtype),
+            v,
+            preferred_element_type=jnp.float32,
+        ).astype(v.dtype)
     if return_probs:
         return out, probs
     return out

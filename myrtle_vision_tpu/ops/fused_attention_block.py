@@ -44,7 +44,7 @@ snap (ops/fake_quant.py float_quantize) is applied IN-KERNEL at exactly
 the discrete-site positions of the unfused path (models/vit.py QDense/
 QLayerNorm ActQuant sites — pre_linear always; post_op/functional when
 ``all_sites``, i.e. FP16_16), activations stay fp32, all dots run
-at Precision.HIGHEST (the one non-default fp32 precision Mosaic
+with 3-pass bf16 decomposition dots (HIGH-grade; Mosaic
 implements) with post-dot core
 scaling and exact-divide softmax — matching the unfused quant path
 (ops/attention.py xla impl) op for op.  This removes the ~5x
@@ -65,11 +65,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from myrtle_vision_tpu.ops.fake_quant import float_quantize
+from myrtle_vision_tpu.ops.high_precision import dot_high3
 
 _EPS = 1e-5
-# Mosaic implements only DEFAULT and HIGHEST dot precisions; HIGHEST
-# (exact fp32 contraction) is what the discrete quant path uses too
-_HIGHEST = jax.lax.Precision.HIGHEST
 
 
 def _snap(x, qspec):
@@ -120,19 +118,29 @@ def _dot(a, b, contract, prefer=jnp.float32, precision=None):
     )
 
 
+def _dotq(a, b, contract, qspec):
+    """Quant-format dot: 3-pass bf16 decomposition (HIGH-grade; see
+    ops/high_precision.py — Mosaic has no native HIGH and HIGHEST's 6
+    passes measured 691 img/s train) when qspec is set, DEFAULT
+    otherwise."""
+    if qspec is not None:
+        return dot_high3(a, b, (contract, ((), ())))
+    return _dot(a, b, contract)
+
+
 def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref, qspec=None):
     """LN + fused QKV projection: (N, C) -> (N, 3C) in x.dtype.
 
     Quant sites (qspec not None): attn_norm.act_in (pre_linear snap of
     x), attn_norm.act_out (post_op, all-sites only), to_qkv.act_in
     (pre_linear), to_qkv.act_out (post_op, all-sites only); the
-    projection dot runs Precision.HIGHEST like the discrete QDense."""
+    projection dot runs the 3-pass HIGH-grade decomposition like the
+    discrete QDense (ops/high_precision.py)."""
     ln_out, xhat, rstd = _ln_f32(_snap(x, qspec), scale_ln, bias_ln)
     ln_out = _snap(_snap_all(ln_out, qspec), qspec)
     xn = ln_out.astype(x.dtype)
-    qkv = _dot(
-        xn, w_ref[...], (((1,), (0,))),
-        precision=_HIGHEST if qspec else None,
+    qkv = _dotq(
+        xn, w_ref[...], ((1,), (0,)), qspec
     ) + bq_ref[...].astype(jnp.float32)
     qkv = _snap_all(qkv, qspec)
     return qkv.astype(x.dtype), xn, xhat, rstd
@@ -143,7 +151,7 @@ def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
     (H, N) reciprocal-rowsum).
 
     Quant path: matches the unfused fp32 core (ops/attention.py xla
-    impl) op for op — HIGHEST dots, post-dot scaling, exact-divide
+    impl) op for op — 3-pass HIGH-grade dots, post-dot scaling, exact-divide
     softmax (the reference dequantizes around the core, vit.py:78-97)."""
     c = qkv.shape[-1] // 3
     d = c // heads
@@ -153,7 +161,7 @@ def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
         k = qkv[:, c + h * d:c + (h + 1) * d]
         v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
         if qspec is not None:
-            s = _dot(q, k, ((1,), (1,)), precision=_HIGHEST) \
+            s = _dotq(q, k, ((1,), (1,)), qspec) \
                 * jnp.float32(scale)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
@@ -161,7 +169,7 @@ def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
             # true division, NOT multiply-by-reciprocal: bit-parity with
             # the unfused jax.nn.softmax core
             p = e / ssum
-            u = _dot(p, v, ((1,), (0,)), precision=_HIGHEST)
+            u = _dotq(p, v, ((1,), (0,)), qspec)
             rs = 1.0 / ssum  # backward-only statistic
             outs.append(u.astype(dtype))
         else:
@@ -200,9 +208,8 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
         # saved residual must be the snapped value (it is the actual
         # input of the output projection, so dWp contracts against it)
         o = _snap(o.astype(jnp.float32), qspec).astype(x.dtype)
-        y = _dot(
-            o, wp_ref[...], ((1,), (0,)),
-            precision=_HIGHEST if qspec else None,
+        y = _dotq(
+            o, wp_ref[...], ((1,), (0,)), qspec
         ) + bp_ref[...].astype(jnp.float32)
         y = _snap_all(y, qspec)  # to_out.act_out (post_op)
         out = x.astype(jnp.float32) + y
@@ -368,8 +375,6 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     dtype = x.dtype
     c = x.shape[-1]
     d = c // heads
-    p_hi = _HIGHEST if qspec else None
-    p_core = _HIGHEST if qspec else None
     # ---- recompute forward (projection + scores only) ----
     qkv, xn, xhat, rstd = _qkv_rows(
         x, scale_ln, bias_ln, w_ref, bq_ref, qspec
@@ -377,7 +382,7 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     dob = do.astype(dtype)
 
     # d_o (N, C) = do @ Wp^T
-    d_o = _dot(dob, wp_ref[...], ((1,), (1,)), precision=p_hi)
+    d_o = _dotq(dob, wp_ref[...], ((1,), (1,)), qspec)
 
     dq_parts, dk_parts, dv_parts = [], [], []
     for h in range(heads):
@@ -387,7 +392,7 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
         m = m_all[h][:, None]   # (N, 1) stored rowmax
         rs = rs_all[h][:, None]  # (N, 1) stored 1/rowsum
         if qspec is not None:
-            s = _dot(q, k, ((1,), (1,)), precision=p_core) \
+            s = _dotq(q, k, ((1,), (1,)), qspec) \
                 * jnp.float32(scale)
         else:
             qs = (q.astype(jnp.float32) * scale).astype(dtype)
@@ -398,23 +403,23 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
         d_oh = d_o[:, h * d:(h + 1) * d]  # (N, D) fp32
         du = (d_oh * rs).astype(dtype)  # normalized head-output grad
         # dv (Nk, D) = p^T @ d_oh = e^T @ (d_oh * rs)
-        dv_parts.append(_dot(eb, du, ((0,), (0,)), precision=p_core))
+        dv_parts.append(_dotq(eb, du, ((0,), (0,)), qspec))
         # softmax backward in p-form without materializing p:
         # exact ds = p*(dp_raw - rowsum(dp_raw*p)) with p = e*rs and
         # dp_raw = d_oh @ v^T.  Using du = d_oh*rs gives dp = dp_raw*rs,
         # and rowsum(dp*e) = rowsum(dp_raw*p), so
         # ds = e*dp - p*rowsum(dp*e) = e * (dp - rs*rowsum(dp*e)).
-        dp = _dot(du, v, ((1,), (1,)), precision=p_core)
+        dp = _dotq(du, v, ((1,), (1,)), qspec)
         r_row = jnp.sum(dp * e, axis=-1, keepdims=True)
         dsm = e * (dp - r_row * rs)
         dsb = dsm.astype(dtype)
         # s = scale * (q @ k^T):  dq = scale*(ds @ k); dk = ds^T @ q*scale
         dq_parts.append(
-            _dot(dsb, k, ((1,), (0,)), precision=p_core) * scale
+            _dotq(dsb, k, ((1,), (0,)), qspec) * scale
         )
         if qspec is not None:
             dk_parts.append(
-                _dot(dsb, q, ((0,), (0,)), precision=p_core) * scale
+                _dotq(dsb, q, ((0,), (0,)), qspec) * scale
             )
         else:
             dk_parts.append(_dot(dsb, qs, ((0,), (0,))))
@@ -425,13 +430,13 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     dqkvb = dqkv.astype(dtype)
 
     # ---- projection weight grads ----
-    dwp = _dot(o, dob, ((0,), (0,)), precision=p_hi)  # (C, C)
+    dwp = _dotq(o, dob, ((0,), (0,)), qspec)  # (C, C)
     dbp = jnp.sum(do, axis=0)
 
     # ---- qkv projection backward ----
-    dw = _dot(xn, dqkvb, ((0,), (0,)), precision=p_hi)  # (C, 3C)
+    dw = _dotq(xn, dqkvb, ((0,), (0,)), qspec)  # (C, 3C)
     dbq = jnp.sum(dqkv, axis=0)  # (3C,)
-    dxn = _dot(dqkvb, w_ref[...], ((1,), (1,)), precision=p_hi)
+    dxn = _dotq(dqkvb, w_ref[...], ((1,), (1,)), qspec)
 
     # ---- LayerNorm backward ----
     dscale = jnp.sum(dxn * xhat, axis=0)

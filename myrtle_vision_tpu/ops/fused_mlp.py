@@ -25,7 +25,8 @@ Used by the FP32 (non-quantized) fast path of FeedForward
 TF32) run the same kernels with ``qspec=(exp_bits, man_bits,
 all_sites)``: float-format snaps applied in-kernel at the discrete-site
 positions (QLayerNorm/QDense/QGelu ActQuant sites), fp32 activations,
-Precision.HIGHEST dots, and the exact-divide polynomial GELU shared with
+3-pass HIGH-grade dots (ops/high_precision.py), and the exact-divide
+polynomial GELU shared with
 the unfused QGelu — see ops/fused_attention_block.py for the design
 note.  PyTorchINT8 (stateful observers) keeps the unfused path.
 """
@@ -40,12 +41,24 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from myrtle_vision_tpu.ops.fake_quant import float_quantize
+from myrtle_vision_tpu.ops.high_precision import dot_high3
 
 _EPS = 1e-5
 _SQRT_2 = 1.4142135623730951
-# Mosaic implements only DEFAULT and HIGHEST dot precisions; HIGHEST
-# (exact fp32 contraction) is what the discrete quant path uses too
-_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b, qspec, dims=None):
+    """fp32-accumulating matmul: DEFAULT precision for the bf16 path,
+    3-pass bf16 decomposition (HIGH-grade; see ops/high_precision.py)
+    for the quant formats — Mosaic has no native HIGH and HIGHEST's 6
+    passes measured 691 img/s train at ViT-S/16."""
+    if dims is None:
+        dims = (((a.ndim - 1,), (0,)), ((), ()))
+    if qspec is not None:
+        return dot_high3(a, b, dims)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32
+    )
 
 
 def _snap(x, qspec):
@@ -138,7 +151,6 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 o_ref, *, group, qspec):
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
-    prec = _HIGHEST if qspec else None
 
     def fc1(j):
         x = x_ref[j]  # (N, C)
@@ -147,20 +159,14 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         xn, _, _ = _layernorm_f32(_snap(x, qspec), scale, bias)
         xn = _snap(_snap_all(xn, qspec), qspec)
         xn = xn.astype(x.dtype)
-        h = jnp.dot(
-            xn, w1_ref[...], preferred_element_type=jnp.float32,
-            precision=prec,
-        ) + b1_ref[...].astype(jnp.float32)
+        h = _mm(xn, w1_ref[...], qspec) + b1_ref[...].astype(jnp.float32)
         # fc1.act_out (post_op) + gelu.act_in (gelu_in) sites
         return _snap_all(h, qspec)
 
     def fc2(j, g):
         x = x_ref[j]
         y = (
-            jnp.dot(
-                g, w2_ref[...], preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            _mm(g, w2_ref[...], qspec)
             + b2_ref[...].astype(jnp.float32)
         )
         y = _snap_all(y, qspec)  # fc2.act_out (post_op)
@@ -192,7 +198,6 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     i = pl.program_id(0)
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
-    prec = _HIGHEST if qspec else None
 
     def recompute(j):
         """Stage A: LN + fc1 recompute for image j (MXU-heavy), with the
@@ -202,10 +207,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         ln_out = _snap(_snap_all(ln_out, qspec), qspec)
         xn = ln_out.astype(x.dtype)
         h = (
-            jnp.dot(
-                xn, w1_ref[...], preferred_element_type=jnp.float32,
-                precision=prec,
-            )
+            _mm(xn, w1_ref[...], qspec)
             + b1_ref[...].astype(jnp.float32)
         )
         return xn, xhat, rstd, _snap_all(h, qspec)
@@ -247,7 +249,6 @@ def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
                    recomputed, qspec=None):
     # forward intermediates recomputed by the pipelined stage A
     xn, xhat, rstd, h = recomputed
-    prec = _HIGHEST if qspec else None
     if qspec is not None:
         g_f32, ggrad = _gelu_and_grad_f32(h, recip=_exact_div)
         # gelu_out + fc2.act_in snaps: dw2 contracts against the actual
@@ -259,25 +260,13 @@ def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
 
     dob = do.astype(x.dtype)
     # fc2 backward (contractions written to avoid explicit transposes)
-    dw2 = jax.lax.dot_general(
-        g, dob, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    dg = jax.lax.dot_general(
-        dob, w2_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+    dw2 = _mm(g, dob, qspec, dims=(((0,), (0,)), ((), ())))
+    dg = _mm(dob, w2_ref[...], qspec, dims=(((1,), (1,)), ((), ())))
     dh = dg * ggrad
     dhb = dh.astype(x.dtype)
     # fc1 backward
-    dw1 = jax.lax.dot_general(
-        xn, dhb, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    dxn = jax.lax.dot_general(
-        dhb, w1_ref[...], dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
+    dw1 = _mm(xn, dhb, qspec, dims=(((0,), (0,)), ((), ())))
+    dxn = _mm(dhb, w1_ref[...], qspec, dims=(((1,), (1,)), ((), ())))
     # LayerNorm backward (wrt pre-norm x)
     dscale = jnp.sum(dxn * xhat, axis=0)
     dbias_ln = jnp.sum(dxn, axis=0)

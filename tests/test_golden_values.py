@@ -134,7 +134,13 @@ class TestFusedQuantBitIdentity:
 
     def test_gradients_match(self, monkeypatch):
         # gradients are not claimed bit-identical (the fused backward
-        # uses the p-form softmax algebra) but must agree tightly
+        # uses the p-form softmax algebra, and the discrete path
+        # backprops through matmul_high3's custom VJP while the fused
+        # kernel hand-writes its backward) but must agree tightly;
+        # with the 3-pass bf16-decomposition dots the residual
+        # accumulation-order difference reaches ~1e-3 relative on
+        # near-zero elements (HIGHEST's exact fp32 contraction held
+        # 1e-4)
         for fmt in [QFormat.FP16_32, QFormat.FP16_16]:
             model = ViT(
                 decoder="classification", image_size=80, patch_size=16,
@@ -158,7 +164,17 @@ class TestFusedQuantBitIdentity:
             flat_f = jax.tree_util.tree_leaves_with_path(g_fused)
             flat_d = jax.tree_util.tree_leaves(g_disc)
             for (path, a), b in zip(flat_f, flat_d):
+                a, b = np.asarray(a), np.asarray(b)
+                # scale-aware gate: near-zero elements carry the
+                # summation-order noise of the whole upstream graph
+                # (measured residual with the 3-pass dots: up to ~0.3%
+                # of the leaf's scale at the patch embedding, the leaf
+                # furthest from the loss), so bound the error relative
+                # to the leaf's own magnitude; 1% still catches any
+                # structural backward bug (wrong scale / dropped term /
+                # sign) while admitting pure accumulation-order noise
                 np.testing.assert_allclose(
-                    np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+                    a, b, rtol=2e-3,
+                    atol=1e-2 * max(float(np.abs(b).max()), 1e-3),
                     err_msg=f"{fmt.name} grad {path}",
                 )
