@@ -54,15 +54,35 @@ def _patch_cuda_to_cpu():
     torch.nn.Module.to = m_to
 
 
+def _repair_detection():
+    """The reference's detection forward never appends its det tokens:
+    ``self.decoder`` is clobbered from the decoder NAME to the decoder
+    MODULE (vit.py:196 vs 235-252), so the ``self.decoder == "detection"``
+    checks (vit.py:287,299) are always False.  For the detection control
+    runs the intended (YOLOS) semantics are restored exactly as in
+    tests/test_reference_parity.py::_detection_repair: DetectionDecoder
+    gets a string-aware __eq__."""
+    from myrtle_vision.models.vit import DetectionDecoder
+
+    DetectionDecoder.__eq__ = lambda self, other: other == "detection"
+    DetectionDecoder.__hash__ = object.__hash__
+
+
 def main():
     if len(sys.argv) < 2:
         raise SystemExit(__doc__)
-    script = sys.argv[1]
+    args = sys.argv[1:]
+    repair = "--repair-detection" in args
+    if repair:
+        args.remove("--repair-detection")
+    script = args[0]
     shims = os.path.join(os.path.dirname(os.path.abspath(__file__)), "shims")
     sys.path.insert(0, shims)
     sys.path.insert(0, "/root/reference/src")
     _patch_cuda_to_cpu()
-    sys.argv = [script] + sys.argv[2:]
+    if repair:
+        _repair_detection()
+    sys.argv = [script] + args[1:]
     runpy.run_path(script, run_name="__main__")
 
 

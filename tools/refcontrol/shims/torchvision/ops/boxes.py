@@ -32,3 +32,37 @@ def _from_xyxy(boxes, fmt):
 
 def box_convert(boxes, in_fmt, out_fmt):
     return _from_xyxy(_xyxy(boxes, in_fmt), out_fmt)
+
+
+def box_area(boxes):
+    return (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+
+
+def box_iou(boxes1, boxes2):
+    """Pairwise IoU on xyxy boxes -> (N, M)."""
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = torch.max(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = torch.min(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = (rb - lt).clamp(min=0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area1[:, None] + area2[None, :] - inter
+    return inter / union
+
+
+def generalized_box_iou(boxes1, boxes2):
+    """GIoU (Rezatofighi et al.) on xyxy boxes -> (N, M): IoU minus the
+    normalized area of the smallest enclosing box outside the union."""
+    iou = box_iou(boxes1, boxes2)
+    area1 = box_area(boxes1)
+    area2 = box_area(boxes2)
+    lt = torch.min(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb = torch.max(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh = (rb - lt).clamp(min=0)
+    enclose = wh[..., 0] * wh[..., 1]
+    lt_i = torch.max(boxes1[:, None, :2], boxes2[None, :, :2])
+    rb_i = torch.min(boxes1[:, None, 2:], boxes2[None, :, 2:])
+    wh_i = (rb_i - lt_i).clamp(min=0)
+    inter = wh_i[..., 0] * wh_i[..., 1]
+    union = area1[:, None] + area2[None, :] - inter
+    return iou - (enclose - union) / enclose
