@@ -180,6 +180,24 @@ def train(config):
     vit, distiller, teacher_fn = build_models(config, data_config)
     train_model = distiller if distiller is not None else vit
 
+    # head-sharded tensor parallelism through the fused kernels
+    # (parallel/tp.py): the training model carries tp_axis="model" so
+    # each Block runs the fused Pallas kernels on its local head slice;
+    # falls back to the GSPMD TP path (gathers around the kernels) when
+    # unsupported (quant formats, distillation, non-dividing heads)
+    n_tp = mesh.devices.shape[1]
+    tp_fused = (
+        n_tp > 1
+        and distiller is None
+        and vit.q_format.name == "FP32"
+        and vit.heads % n_tp == 0
+        and vit.mlp_dim % n_tp == 0
+        and os.environ.get("MVT_NO_FUSE") != "1"
+    )
+    if tp_fused:
+        train_model = vit.clone(tp_axis="model")
+        print(f"tensor parallel: fused-kernel head sharding (x{n_tp})")
+
     tx = create_optimizer(train_config)
     sample = jnp.zeros(
         (1, vit.image_size, vit.image_size, 3), jnp.float32
@@ -198,7 +216,9 @@ def train(config):
             ),
         )
     else:
-        state = init_train_state(vit, tx, rng, sample, mesh=mesh)
+        state = init_train_state(
+            vit, tx, rng, sample, mesh=mesh, tp_fused=tp_fused
+        )
 
     # Pretrained timm backbone import (reference train.py:137-148)
     pretrained = train_config.get("pretrained_backbone")
@@ -219,7 +239,8 @@ def train(config):
                 params = merged
             state = state.replace(
                 params=jax.device_put(
-                    params, state_shardings(state, mesh).params
+                    params,
+                    state_shardings(state, mesh, tp_fused=tp_fused).params,
                 )
             )
             print(f"loaded pretrained backbone: {pretrained}")
@@ -230,11 +251,11 @@ def train(config):
     state, iteration = prepare_model_and_load_ckpt(train_config, state)
 
     loss_fn = make_loss_fn(
-        vit if distiller is None else vit,
+        train_model if distiller is None else vit,
         distiller=distiller,
         teacher_fn=teacher_fn,
     )
-    sharding = state_shardings(state, mesh)
+    sharding = state_shardings(state, mesh, tp_fused=tp_fused)
     batch_shard = {
         "image": NamedSharding(mesh, P(None, "data")),
         "label": NamedSharding(mesh, P(None, "data")),
@@ -246,6 +267,7 @@ def train(config):
         mesh=mesh,
         state_sharding=sharding,
         batch_sharding=batch_shard,
+        tp_fused=tp_fused,
     )
     predict_fn = make_predict_fn(vit)
 

@@ -138,6 +138,19 @@ def train(config):
     )
 
     vit = ViT(**vit_kwargs_from_config(config, data_config))
+    # head-sharded TP through the fused kernels (parallel/tp.py); see
+    # classification/train.py for the gate rationale
+    n_tp = mesh.devices.shape[1]
+    tp_fused = (
+        n_tp > 1
+        and vit.q_format.name == "FP32"
+        and vit.heads % n_tp == 0
+        and vit.mlp_dim % n_tp == 0
+        and os.environ.get("MVT_NO_FUSE") != "1"
+    )
+    train_model = vit.clone(tp_axis="model") if tp_fused else vit
+    if tp_fused:
+        print(f"tensor parallel: fused-kernel head sharding (x{n_tp})")
     tx = create_optimizer(train_config)
     state = init_train_state(
         vit,
@@ -145,6 +158,7 @@ def train(config):
         jax.random.PRNGKey(seed),
         jnp.zeros((1, vit.image_size, vit.image_size, 3)),
         mesh=mesh,
+        tp_fused=tp_fused,
     )
 
     pretrained = train_config.get("pretrained_backbone")
@@ -157,7 +171,8 @@ def train(config):
             merged = load_pretrained_backbone(state.params, pretrained)
             state = state.replace(
                 params=jax.device_put(
-                    merged, state_shardings(state, mesh).params
+                    merged,
+                    state_shardings(state, mesh, tp_fused=tp_fused).params,
                 )
             )
             print(f"loaded pretrained backbone: {pretrained}")
@@ -168,7 +183,7 @@ def train(config):
     state, iteration = prepare_model_and_load_ckpt(train_config, state)
 
     weight_dict = build_weight_dict(train_config)
-    sharding = state_shardings(state, mesh)
+    sharding = state_shardings(state, mesh, tp_fused=tp_fused)
     data_spec = NamedSharding(mesh, P(None, "data"))
     batch_shard = {
         "image": data_spec,
@@ -187,13 +202,14 @@ def train(config):
         match_fn = make_match_fn(vit)
     train_step = make_train_step(
         make_loss_fn(
-            vit, n_classes, weight_dict, train_config["eos_coef"]
+            train_model, n_classes, weight_dict, train_config["eos_coef"]
         ),
         tx,
         n_batch_accum,
         mesh=mesh,
         state_sharding=sharding,
         batch_sharding=batch_shard,
+        tp_fused=tp_fused,
     )
     detect_fn = make_detect_fn(vit)
 

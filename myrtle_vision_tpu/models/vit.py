@@ -28,7 +28,7 @@ reference's quantizer rewires modules in-place; we don't need to).
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -40,6 +40,7 @@ from myrtle_vision_tpu.ops.fused_attention_block import (
     fuses_at,
 )
 from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
+from myrtle_vision_tpu.parallel import tp as tp_lib
 from myrtle_vision_tpu.ops.high_precision import matmul_high3
 from myrtle_vision_tpu.ops.interpolate import resize_bicubic, resize_bilinear
 from myrtle_vision_tpu.quantize import ActQuant, QFormat, quantize_weight
@@ -442,6 +443,10 @@ class Block(nn.Module):
     converted: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    # set under head-sharded tensor parallelism (parallel/tp.py): the
+    # mesh axis name the block's fused kernels shard their heads /
+    # hidden columns over (the caller must apply under shard_map)
+    tp_axis: Optional[str] = None
 
     def setup(self):
         self.attn_norm = QLayerNorm(
@@ -510,8 +515,50 @@ class Block(nn.Module):
             and fuses_at(x.shape[1], self.heads, self.dim_head)
         )
         qspec = _QSPECS.get(self.q_format)
+        # head-sharded tensor parallelism through the fused kernels
+        # (parallel/tp.py): FP32 only — the stateless quant formats snap
+        # the residual sum in-kernel, which is nonlinear and cannot be
+        # applied to per-shard partial sums
+        ntp = 1
+        if self.tp_axis is not None and fuse:
+            ntp = tp_lib.tp_size(self.tp_axis)
+        tp_fuse = (
+            ntp > 1
+            and qspec is None
+            and self.heads % ntp == 0
+            and self.mlp_dim % ntp == 0
+        )
         with jax.named_scope("transformer:attention"):
-            if fuse:
+            if fuse and tp_fuse:
+                tp = self.tp_axis
+                idx = jax.lax.axis_index(tp)
+                inv = 1.0 / ntp
+                part = fused_attention_block(
+                    tp_lib.replicated_in(x.astype(self.dtype), tp),
+                    tp_lib.replicated_in(
+                        self.attn_norm.scale_p, tp
+                    ).astype(self.dtype),
+                    tp_lib.replicated_in(self.attn_norm.bias_p, tp),
+                    tp_lib.shard_cols(
+                        tp_lib.replicated_in(self.attn.to_qkv_kernel, tp),
+                        idx, ntp, n_sections=3,
+                    ).astype(self.dtype),
+                    tp_lib.shard_cols(
+                        tp_lib.replicated_in(self.attn.to_qkv_bias, tp),
+                        idx, ntp, n_sections=3,
+                    ),
+                    tp_lib.shard_rows(
+                        tp_lib.replicated_in(self.attn.to_out_kernel, tp),
+                        idx, ntp,
+                    ).astype(self.dtype),
+                    tp_lib.replicated_in(self.attn.to_out_bias, tp) * inv,
+                    self.heads // ntp,
+                    self.dim_head ** -0.5,
+                    qspec,
+                    inv,
+                )
+                x = tp_lib.partial_out(part, tp)
+            elif fuse:
                 # converted stateless checkpoints store weights as REAL
                 # fp16 arrays; cast to the compute dtype outside the
                 # kernel (exact, matching the unfused QDense's
@@ -550,7 +597,34 @@ class Block(nn.Module):
             # FP32 fast path: one Pallas kernel for
             # LN -> fc1 -> GELU -> fc2 -> +residual (ops/fused_mlp.py);
             # quant formats / active dropout keep the discrete sites
-            if fuse:
+            if fuse and tp_fuse:
+                tp = self.tp_axis
+                idx = jax.lax.axis_index(tp)
+                inv = 1.0 / ntp
+                part = fused_mlp_block(
+                    tp_lib.replicated_in(x.astype(self.dtype), tp),
+                    tp_lib.replicated_in(
+                        self.ffn_norm.scale_p, tp
+                    ).astype(self.dtype),
+                    tp_lib.replicated_in(self.ffn_norm.bias_p, tp),
+                    tp_lib.shard_cols(
+                        tp_lib.replicated_in(self.ffn.fc1.kernel, tp),
+                        idx, ntp,
+                    ).astype(self.dtype),
+                    tp_lib.shard_cols(
+                        tp_lib.replicated_in(self.ffn.fc1.bias, tp),
+                        idx, ntp,
+                    ),
+                    tp_lib.shard_rows(
+                        tp_lib.replicated_in(self.ffn.fc2.kernel, tp),
+                        idx, ntp,
+                    ).astype(self.dtype),
+                    tp_lib.replicated_in(self.ffn.fc2.bias, tp) * inv,
+                    qspec,
+                    inv,
+                )
+                x = tp_lib.partial_out(part, tp)
+            elif fuse:
                 def _qw(w, kind):
                     return quantize_weight(
                         w, self.q_format, kind, self.converted
@@ -595,6 +669,7 @@ class Transformer(nn.Module):
     converted: bool = False
     dtype: Any = jnp.float32
     attn_impl: str = "auto"
+    tp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -615,6 +690,7 @@ class Transformer(nn.Module):
                 self.converted,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                tp_axis=self.tp_axis,
                 name=f"layers_{i}",
             )(x, deterministic, calibrating, capture_attention)
         return x
@@ -763,6 +839,10 @@ class ViT(nn.Module):
     converted: bool = False
     dtype: Any = jnp.bfloat16
     attn_impl: str = "auto"
+    # head-sharded tensor parallelism: the mesh axis name the fused
+    # block kernels shard over (apply() must then run under shard_map
+    # with this axis in scope — training/trainer.py tp_fused branch)
+    tp_axis: Optional[str] = None
 
     def setup(self):
         assert self.image_size % self.patch_size == 0, (
@@ -825,6 +905,7 @@ class ViT(nn.Module):
             self.converted,
             dtype=compute_dtype,
             attn_impl=self.attn_impl,
+            tp_axis=self.tp_axis,
             name="transformer",
         )
         if self.decoder == "classification":

@@ -190,7 +190,8 @@ def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
-                o_ref, *rest, scale, heads, group, save_stats, qspec):
+                o_ref, *rest, scale, heads, group, save_stats, qspec,
+                res_scale=1.0):
     """Forward; with ``save_stats`` also writes the softmax statistics
     and the pre-projection context as residuals for the backward
     (rest = (ctx_ref, m_ref, rs_ref)), skipping their recomputation
@@ -212,7 +213,7 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
             o, wp_ref[...], ((1,), (0,)), qspec
         ) + bp_ref[...].astype(jnp.float32)
         y = _snap_all(y, qspec)  # to_out.act_out (post_op)
-        out = x.astype(jnp.float32) + y
+        out = x.astype(jnp.float32) * res_scale + y
         out = _snap_all(out, qspec)  # attn_res (functional)
         o_ref[j] = out.astype(o_ref.dtype)
         if save_stats:
@@ -267,9 +268,13 @@ def _cap_group(g: int, b: int, n: int, heads: int, d: int) -> int:
 
 
 def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-                  save_stats=False, qspec=None):
+                  save_stats=False, qspec=None, res_scale=1.0):
     b, n, c = x.shape
-    d = c // heads
+    # under head-sharded tensor parallelism wqkv/wp are the LOCAL head
+    # slices: wqkv (c, 3*cl), wp (cl, c) with cl = local_heads * d —
+    # derive attention widths from the weights, not from x
+    cl = wp.shape[0]
+    d = cl // heads
     g = _cap_group(_fwd_group(b), b, n, heads, d)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
@@ -278,30 +283,32 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
     out_specs = row
     out_shape = jax.ShapeDtypeStruct(x.shape, x.dtype)
     if save_stats:
+        ctx_row = pl.BlockSpec((g, n, cl), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
         hn = pl.BlockSpec((g, heads, n), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-        out_specs = (row, row, hn, hn)
+        out_specs = (row, ctx_row, hn, hn)
         out_shape = (
             out_shape,
-            jax.ShapeDtypeStruct(x.shape, x.dtype),          # context o
+            jax.ShapeDtypeStruct((b, n, cl), x.dtype),         # context o
             jax.ShapeDtypeStruct((b, heads, n), jnp.float32),  # rowmax
             jax.ShapeDtypeStruct((b, heads, n), jnp.float32),  # 1/rowsum
         )
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, heads=heads, group=g,
-            save_stats=save_stats, qspec=qspec,
+            save_stats=save_stats, qspec=qspec, res_scale=res_scale,
         ),
         grid=(b // g,),
         in_specs=[
             row,
             vec_c,
             vec_c,
-            pl.BlockSpec((c, 3 * c), lambda i: (0, 0),
+            pl.BlockSpec((c, 3 * cl), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * c,), lambda i: (0,),
+            pl.BlockSpec((3 * cl,), lambda i: (0,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda i: (0, 0),
+            pl.BlockSpec((cl, c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             vec_c,
         ],
@@ -320,7 +327,8 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
 def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
                 do_ref, ctx_ref, m_ref, rs_ref,
                 dx_ref, ds_ref, db_ref, dw_ref, dbq_ref,
-                dwp_ref, dbp_ref, *, scale, heads, group, qspec):
+                dwp_ref, dbp_ref, *, scale, heads, group, qspec,
+                res_scale=1.0):
     """Backward for a GROUP of images per grid step.
 
     Weight/bias/norm grads for the whole group are summed into local
@@ -338,6 +346,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
             w_ref, bq_ref, wp_ref, dx_ref, j,
             ctx_ref[j], m_ref[j], rs_ref[j],
             scale=scale, heads=heads, qspec=qspec,
+            res_scale=res_scale,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -363,7 +372,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
 
 def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
                    dx_ref, j, o, m_all, rs_all, *, scale, heads,
-                   qspec=None):
+                   qspec=None, res_scale=1.0):
     """Backward for one image.  ``o`` (N, C), ``m_all``/``rs_all``
     (H, N) are forward residuals: the pre-projection context and the
     softmax rowmax / reciprocal-rowsum, so the backward recomputes only
@@ -373,12 +382,14 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     forward intermediates change (same snaps as the forward); dots keep
     the forward's precisions (all HIGHEST, like the forward)."""
     dtype = x.dtype
-    c = x.shape[-1]
-    d = c // heads
     # ---- recompute forward (projection + scores only) ----
     qkv, xn, xhat, rstd = _qkv_rows(
         x, scale_ln, bias_ln, w_ref, bq_ref, qspec
     )
+    # attention widths come from the (possibly head-sharded) qkv
+    # projection, not from x (tensor parallelism: c_local < C)
+    c = qkv.shape[-1] // 3
+    d = c // heads
     dob = do.astype(dtype)
 
     # d_o (N, C) = do @ Wp^T
@@ -446,32 +457,38 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
-    dx_ref[j] = (do + dx_ln).astype(dx_ref.dtype)
+    dx_ref[j] = (do * res_scale + dx_ln).astype(dx_ref.dtype)
     return dscale, dbias, dw, dbq, dwp, dbp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
-                          heads, scale, qspec=None):
-    """x + proj(MHA(qkv(LN(x)))) over (B, N, C).
+                          heads, scale, qspec=None, res_scale=1.0):
+    """x*res_scale + proj(MHA(qkv(LN(x)))) over (B, N, C).
 
     wqkv: (C, 3C) fused projection (feature order [3][h][d], the timm/
     reference layout); wp: (C, C); heads/scale static.  ``qspec``:
     None (FP32) or the static ``(exp_bits, man_bits, all_sites)`` of a
     stateless quant format — weights must arrive already fake-quantized
     (the caller's STE handles their gradient).
+
+    Head-sharded tensor parallelism: pass the LOCAL slices wqkv
+    (C, 3*cl), bqkv (3*cl,), wp (cl, C) with heads = local head count,
+    bp pre-scaled by 1/n_tp and ``res_scale = 1/n_tp``; a psum over the
+    model axis of the partial outputs then reassembles
+    x + proj + bias exactly (models/vit.py Block TP path).
     """
     return _attn_forward(
         x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-        qspec=qspec,
+        qspec=qspec, res_scale=res_scale,
     )
 
 
 def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-              qspec):
+              qspec, res_scale):
     out, ctx, m, rs = _attn_forward(
         x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-        save_stats=True, qspec=qspec,
+        save_stats=True, qspec=qspec, res_scale=res_scale,
     )
     return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs)
 
@@ -494,14 +511,17 @@ def _bwd_group(b: int) -> int:
     return 1
 
 
-def _bwd_rule(heads, scale, qspec, res, do):
+def _bwd_rule(heads, scale, qspec, res_scale, res, do):
     x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs = res
     b, n, c = x.shape
-    d = c // heads
+    cl = wp.shape[0]  # local attention width (== c unless head-sharded)
+    d = cl // heads
     g = _cap_group(_bwd_group(b), b, n, heads, d)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
+    ctx_row = pl.BlockSpec((g, n, cl), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
     hn = pl.BlockSpec((g, heads, n), lambda i: (i, 0, 0),
                       memory_space=pltpu.VMEM)
     vec_c = pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM)
@@ -511,26 +531,27 @@ def _bwd_rule(heads, scale, qspec, res, do):
     f32 = jnp.float32
     dx, dscale, dbias, dw, dbq, dwp, dbp = pl.pallas_call(
         functools.partial(
-            _bwd_kernel, scale=scale, heads=heads, group=g, qspec=qspec
+            _bwd_kernel, scale=scale, heads=heads, group=g, qspec=qspec,
+            res_scale=res_scale,
         ),
         grid=(b // g,),
         in_specs=[
             row, vec_c, vec_c,
-            rep((c, 3 * c)), rep((3 * c,)), rep((c, c)),
-            row, row, hn, hn,
+            rep((c, 3 * cl)), rep((3 * cl,)), rep((cl, c)),
+            row, ctx_row, hn, hn,
         ],
         out_specs=(
             row, vec_c, vec_c,
-            rep((c, 3 * c)), rep((3 * c,)), rep((c, c)),
+            rep((c, 3 * cl)), rep((3 * cl,)), rep((cl, c)),
             vec_c,
         ),
         out_shape=(
             jax.ShapeDtypeStruct(x.shape, x.dtype),
             jax.ShapeDtypeStruct((c,), f32),
             jax.ShapeDtypeStruct((c,), f32),
-            jax.ShapeDtypeStruct((c, 3 * c), f32),
-            jax.ShapeDtypeStruct((3 * c,), f32),
-            jax.ShapeDtypeStruct((c, c), f32),
+            jax.ShapeDtypeStruct((c, 3 * cl), f32),
+            jax.ShapeDtypeStruct((3 * cl,), f32),
+            jax.ShapeDtypeStruct((cl, c), f32),
             jax.ShapeDtypeStruct((c,), f32),
         ),
         # the grouped kernel's unrolled loop keeps ~2MB/image of stack

@@ -148,7 +148,7 @@ def _gelu_and_grad_f32(h, recip=None):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, group, qspec):
+                o_ref, *, group, qspec, res_scale=1.0):
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
 
@@ -170,7 +170,7 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             + b2_ref[...].astype(jnp.float32)
         )
         y = _snap_all(y, qspec)  # fc2.act_out (post_op)
-        out = x.astype(jnp.float32) + y
+        out = x.astype(jnp.float32) * res_scale + y
         out = _snap_all(out, qspec)  # ffn_res (functional)
         o_ref[j] = out.astype(o_ref.dtype)
 
@@ -194,7 +194,7 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 do_ref, dx_ref, ds_ref, db_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, *, group, qspec):
+                dw2_ref, db2_ref, *, group, qspec, res_scale=1.0):
     i = pl.program_id(0)
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
@@ -220,7 +220,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         a_next = recompute(j + 1) if j + 1 < group else None
         grads = _bwd_one_image(
             x_ref[j], do_ref[j].astype(jnp.float32), scale, bias,
-            w1_ref, w2_ref, dx_ref, j, a_prev, qspec,
+            w1_ref, w2_ref, dx_ref, j, a_prev, qspec, res_scale,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -246,7 +246,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
-                   recomputed, qspec=None):
+                   recomputed, qspec=None, res_scale=1.0):
     # forward intermediates recomputed by the pipelined stage A
     xn, xhat, rstd, h = recomputed
     if qspec is not None:
@@ -275,7 +275,7 @@ def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
-    dx_ref[j] = (do + dx_ln).astype(dx_ref.dtype)
+    dx_ref[j] = (do * res_scale + dx_ln).astype(dx_ref.dtype)
     return (dscale, dbias_ln, dw1, jnp.sum(dh, axis=0), dw2,
             jnp.sum(do, axis=0))
 
@@ -329,7 +329,8 @@ def _as_3d(x):
     return x.reshape(-1, *x.shape[-2:]), x.shape
 
 
-def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None):
+def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None,
+                 res_scale=1.0):
     x3, orig_shape = _as_3d(x)
     b, n, d = x3.shape
     hidden = w1.shape[-1]
@@ -339,7 +340,9 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None):
     row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, group=g, qspec=qspec),
+        functools.partial(
+            _fwd_kernel, group=g, qspec=qspec, res_scale=res_scale
+        ),
         grid=(b // g,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d],
         out_specs=row,
@@ -353,25 +356,31 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None):
     return out.reshape(orig_shape)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, qspec=None):
-    """x + fc2(gelu(fc1(LN(x)))) over (..., N, D) with weights (D, H),
-    (H, D).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, qspec=None,
+                    res_scale=1.0):
+    """x*res_scale + fc2(gelu(fc1(LN(x)))) over (..., N, D) with weights
+    (D, H), (H, D).
 
     Params may be fp32; compute runs in x.dtype with fp32 accumulation,
     matching the unfused QLayerNorm/QDense/QGelu composition in FP32 mode.
     ``qspec``: None or the static (exp_bits, man_bits, all_sites) of a
     stateless quant format — weights must arrive already fake-quantized.
+
+    Tensor parallelism (hidden-sharded): pass the LOCAL slices w1
+    (D, H/n_tp), b1 (H/n_tp,), w2 (H/n_tp, D), b2 pre-scaled by 1/n_tp
+    and ``res_scale = 1/n_tp``; psum over the model axis reassembles
+    x + fc2 + bias exactly (models/vit.py Block TP path).
     """
-    return _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec)
+    return _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec, res_scale)
 
 
-def _fwd_rule(x, scale, bias, w1, b1, w2, b2, qspec):
-    out = _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec)
+def _fwd_rule(x, scale, bias, w1, b1, w2, b2, qspec, res_scale):
+    out = _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec, res_scale)
     return out, (x, scale, bias, w1, b1, w2, b2)
 
 
-def _bwd_rule(qspec, res, do):
+def _bwd_rule(qspec, res_scale, res, do):
     x, scale, bias, w1, b1, w2, b2 = res
     x3, orig_shape = _as_3d(x)
     do3, _ = _as_3d(do)
@@ -383,7 +392,9 @@ def _bwd_rule(qspec, res, do):
 
     f32 = jnp.float32
     dx, dscale, dbias, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_bwd_kernel, group=g, qspec=qspec),
+        functools.partial(
+            _bwd_kernel, group=g, qspec=qspec, res_scale=res_scale
+        ),
         grid=(b // g,),
         in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d, row],
         out_specs=(

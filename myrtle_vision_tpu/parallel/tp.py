@@ -1,0 +1,97 @@
+"""Head-sharded tensor parallelism through the fused Pallas kernels.
+
+Megatron-style TP (reference has none — this extends the reference's
+DDP-only scaling, SURVEY §5.8) executed under ``shard_map`` so the fused
+block kernels (ops/fused_attention_block.py, ops/fused_mlp.py) run on
+LOCAL head/hidden slices instead of being bypassed by GSPMD gathers:
+
+  - params stay REPLICATED over the 'model' axis (storage and optimizer
+    run identically on every model shard); each Block dynamic-slices its
+    local heads / hidden columns at the kernel boundary, so the MXU work
+    and the attention working set split n_tp ways while the checkpoint
+    schema stays exactly the reference's,
+  - the kernel computes the PARTIAL block output with the residual and
+    output-projection bias pre-scaled by 1/n_tp (``res_scale``); a psum
+    over 'model' reassembles x + proj + bias,
+  - autodiff is controlled explicitly (check_vma=False): the two
+    custom-VJP boundary functions below make every gradient FULL and
+    REPLICATED over 'model', so the optimizer needs no model-axis
+    reduction anywhere.
+
+Boundary functions (the Megatron f/g pair):
+  ``replicated_in``  — identity forward, psum backward.  Wrap every
+    value that enters a shard-local computation REPLICATED (the block
+    input x and the full weight tensors before slicing): each shard's
+    cotangent is only its own partial contribution (its local heads, or
+    a zero-padded weight slice), and the psum reassembles the full
+    gradient on every shard.
+  ``partial_out`` — psum forward, identity backward.  Reduces the
+    shards' partial block outputs; the incoming cotangent is already
+    replicated, and each shard needs exactly that.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def replicated_in(x, axis: str):
+    """Identity fwd; psum over ``axis`` in bwd (full+replicated grads)."""
+    return x
+
+
+def _rin_fwd(x, axis):
+    return x, None
+
+
+def _rin_bwd(axis, _, ct):
+    return (lax.psum(ct, axis),)
+
+
+replicated_in.defvjp(_rin_fwd, _rin_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def partial_out(x, axis: str):
+    """psum over ``axis`` fwd; identity bwd (cotangent is replicated)."""
+    return lax.psum(x, axis)
+
+
+def _pout_fwd(x, axis):
+    return lax.psum(x, axis), None
+
+
+def _pout_bwd(axis, _, ct):
+    return (ct,)
+
+
+partial_out.defvjp(_pout_fwd, _pout_bwd)
+
+
+def tp_size(axis: str) -> int:
+    """Static size of the named mesh axis (inside shard_map)."""
+    return lax.axis_size(axis)
+
+
+def shard_cols(w, idx, n_shards: int, n_sections: int = 1):
+    """Local column block ``idx`` of ``w`` (..., F) where the last axis
+    is ``n_sections`` equal sections each sharded into ``n_shards``
+    blocks (n_sections=3 slices the fused [q|k|v] projection so the
+    local layout stays [q_loc|k_loc|v_loc])."""
+    sec = w.shape[-1] // n_sections
+    cl = sec // n_shards
+    parts = [
+        lax.dynamic_slice_in_dim(w, s * sec + idx * cl, cl, axis=w.ndim - 1)
+        for s in range(n_sections)
+    ]
+    return parts[0] if n_sections == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def shard_rows(w, idx, n_shards: int):
+    """Local row block ``idx`` of ``w`` (R, ...)."""
+    rl = w.shape[0] // n_shards
+    return lax.dynamic_slice_in_dim(w, idx * rl, rl, axis=0)

@@ -37,7 +37,8 @@ class TrainState:
     iteration: jnp.ndarray  # scalar int32, optimizer-step count
 
 
-def init_train_state(model, tx, rng, sample_input, mesh=None, **init_kwargs):
+def init_train_state(model, tx, rng, sample_input, mesh=None,
+                     tp_fused=False, **init_kwargs):
     """Initialize params (+quant stats) and optimizer state, placed according
     to the tensor-parallel layout when a mesh is given."""
     variables = model.init(rng, sample_input, **init_kwargs)
@@ -50,18 +51,28 @@ def init_train_state(model, tx, rng, sample_input, mesh=None, **init_kwargs):
         iteration=jnp.zeros((), jnp.int32),
     )
     if mesh is not None:
-        shardings = state_shardings(state, mesh)
+        shardings = state_shardings(state, mesh, tp_fused=tp_fused)
         state = jax.device_put(state, shardings)
     return state
 
 
-def state_shardings(state: TrainState, mesh):
-    """Sharding tree for a TrainState: params/opt-state follow the TP rules
-    (replicated when tp=1), scalars replicated."""
+def state_shardings(state: TrainState, mesh, tp_fused: bool = False):
+    """Sharding tree for a TrainState: params/opt-state follow the GSPMD
+    TP rules (replicated when tp=1), scalars replicated.
+
+    ``tp_fused`` (head-sharded TP through the fused kernels,
+    parallel/tp.py): params stay REPLICATED over 'model' — each Block
+    dynamic-slices its local heads at the kernel boundary and the
+    boundary custom-VJPs keep every gradient full+replicated, so the
+    optimizer runs identically on all model shards."""
     repl = NamedSharding(mesh, P())
 
     return TrainState(
-        params=param_shardings(state.params, mesh),
+        params=(
+            jax.tree_util.tree_map(lambda _: repl, state.params)
+            if tp_fused
+            else param_shardings(state.params, mesh)
+        ),
         opt_state=jax.tree_util.tree_map(
             lambda _: repl, state.opt_state
         ),
@@ -77,6 +88,7 @@ def make_train_step(
     mesh=None,
     state_sharding=None,
     batch_sharding=None,
+    tp_fused: bool = False,
 ):
     """Build the jitted train step.
 
@@ -181,11 +193,16 @@ def make_train_step(
         return jax.jit(step, donate_argnums=(0,))
 
     n_tp = mesh.devices.shape[1]
-    if n_tp == 1:
-        # Pure data parallel: run the step under shard_map so the Pallas
+    if n_tp == 1 or tp_fused:
+        # Pure data parallel, or head-sharded tensor parallelism through
+        # the fused kernels: run the step under shard_map so the Pallas
         # block kernels execute on LOCAL batch shards.  (Under plain GSPMD
         # jit, XLA cannot partition an opaque custom call and all-gathers
         # the full batch onto every device — correct but redundant.)
+        # With ``tp_fused`` the loss_fn's model carries tp_axis="model":
+        # each Block slices its local heads and psums its partial output
+        # over 'model' (parallel/tp.py); params/grads stay replicated
+        # over 'model', so the step body needs no model-axis handling.
         import functools
 
         spec_of = lambda s: jax.tree_util.tree_map(  # noqa: E731

@@ -152,6 +152,19 @@ def train(config):
     )
 
     vit = ViT(**vit_kwargs_from_config(config, data_config))
+    # head-sharded TP through the fused kernels (parallel/tp.py); see
+    # classification/train.py for the gate rationale
+    n_tp = mesh.devices.shape[1]
+    tp_fused = (
+        n_tp > 1
+        and vit.q_format.name == "FP32"
+        and vit.heads % n_tp == 0
+        and vit.mlp_dim % n_tp == 0
+        and os.environ.get("MVT_NO_FUSE") != "1"
+    )
+    train_model = vit.clone(tp_axis="model") if tp_fused else vit
+    if tp_fused:
+        print(f"tensor parallel: fused-kernel head sharding (x{n_tp})")
     tx = create_optimizer(train_config)
     state = init_train_state(
         vit,
@@ -159,6 +172,7 @@ def train(config):
         jax.random.PRNGKey(seed),
         jnp.zeros((1, vit.image_size, vit.image_size, 3)),
         mesh=mesh,
+        tp_fused=tp_fused,
     )
 
     pretrained = train_config.get("pretrained_backbone")
@@ -171,7 +185,8 @@ def train(config):
             merged = load_pretrained_backbone(state.params, pretrained)
             state = state.replace(
                 params=jax.device_put(
-                    merged, state_shardings(state, mesh).params
+                    merged,
+                    state_shardings(state, mesh, tp_fused=tp_fused).params,
                 )
             )
             print(f"loaded pretrained backbone: {pretrained}")
@@ -181,18 +196,19 @@ def train(config):
 
     state, iteration = prepare_model_and_load_ckpt(train_config, state)
 
-    sharding = state_shardings(state, mesh)
+    sharding = state_shardings(state, mesh, tp_fused=tp_fused)
     batch_shard = {
         "image": NamedSharding(mesh, P(None, "data")),
         "label": NamedSharding(mesh, P(None, "data")),
     }
     train_step = make_train_step(
-        make_loss_fn(vit),
+        make_loss_fn(train_model),
         tx,
         n_batch_accum,
         mesh=mesh,
         state_sharding=sharding,
         batch_sharding=batch_shard,
+        tp_fused=tp_fused,
     )
     predict_fn = make_predict_fn(vit)
 

@@ -25,7 +25,7 @@ from myrtle_vision_tpu.training.trainer import (
 )
 
 
-def _train(tp: int, n_steps: int = 3):
+def _train(tp: int, n_steps: int = 3, tp_fused: bool = False):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual mesh")
     mesh = make_mesh(num_devices=8, tensor_parallel=tp)
@@ -35,6 +35,7 @@ def _train(tp: int, n_steps: int = 3):
         decoder="classification", image_size=80, patch_size=16,
         num_classes=5, dim=128, depth=2, heads=2, mlp_dim=256,
         dtype=jnp.float32,
+        tp_axis="model" if tp_fused else None,
     )
     tx = create_optimizer({
         "optimizer": "adamw", "opt_eps": 1e-8, "opt_betas": None,
@@ -48,10 +49,10 @@ def _train(tp: int, n_steps: int = 3):
     assert global_micro % n_data == 0
 
     state = init_train_state(
-        model, tx, jax.random.PRNGKey(0),
-        jnp.zeros((1, 80, 80, 3)), mesh=mesh,
+        model.clone(tp_axis=None), tx, jax.random.PRNGKey(0),
+        jnp.zeros((1, 80, 80, 3)), mesh=mesh, tp_fused=tp_fused,
     )
-    sharding = state_shardings(state, mesh)
+    sharding = state_shardings(state, mesh, tp_fused=tp_fused)
     batch_shard = {
         "image": NamedSharding(mesh, P(None, "data")),
         "label": NamedSharding(mesh, P(None, "data")),
@@ -59,6 +60,7 @@ def _train(tp: int, n_steps: int = 3):
     step = make_train_step(
         make_loss_fn(model), tx, n_accum,
         mesh=mesh, state_sharding=sharding, batch_sharding=batch_shard,
+        tp_fused=tp_fused,
     )
 
     rng = np.random.RandomState(0)
@@ -87,7 +89,7 @@ def _train(tp: int, n_steps: int = 3):
     # reduction order, which differs legitimately between layouts)
     eval_imgs = jnp.asarray(rng.randn(8, 80, 80, 3), jnp.float32)
     eval_labels = jnp.asarray(rng.randint(0, 5, 8), jnp.int32)
-    loss_fn = make_loss_fn(model)
+    loss_fn = make_loss_fn(model.clone(tp_axis=None))
     final_loss, _ = jax.jit(loss_fn)(
         jax.device_get(state.params), jax.device_get(state.quant),
         {"image": eval_imgs, "label": eval_labels},
@@ -106,3 +108,65 @@ def test_tp2_matches_dp_only():
     losses_tp, final_tp = _train(tp=2)
     np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-5)
     np.testing.assert_allclose(final_dp, final_tp, rtol=2e-4)
+
+
+def test_tp2_fused_matches_dp_only():
+    """Same equivalence for the head-sharded TP path that runs the
+    FUSED Pallas kernels on local head/hidden slices under shard_map
+    (parallel/tp.py): each Block computes a partial output with
+    residual/bias pre-scaled by 1/n_tp and psums over 'model'; the
+    boundary custom-VJPs keep every gradient full+replicated.  The
+    per-shard partial sums reorder fp32 accumulation, hence the slightly
+    looser trajectory tolerance than the GSPMD test."""
+    losses_dp, final_dp = _train(tp=1)
+    losses_tp, final_tp = _train(tp=2, tp_fused=True)
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=1e-4)
+    np.testing.assert_allclose(final_dp, final_tp, rtol=5e-4)
+
+
+def test_tp_fused_runs_the_fused_kernels():
+    """The point of the tp_fused path: the fused block kernels must be
+    ACTIVE under tensor parallelism (the GSPMD path bypasses them with
+    gathers).  Assert via the traced step: one fused-attention + one
+    fused-MLP pallas_call per block per direction appear inside the
+    shard_map'd train step."""
+    mesh = make_mesh(num_devices=8, tensor_parallel=2)
+    model = ViT(
+        decoder="classification", image_size=80, patch_size=16,
+        num_classes=5, dim=128, depth=2, heads=2, mlp_dim=256,
+        dtype=jnp.float32, tp_axis="model",
+    )
+    tx = create_optimizer({
+        "optimizer": "adamw", "opt_eps": 1e-8, "opt_betas": None,
+        "clip_grad": None, "momentum": 0.9, "weight_decay": 0.05,
+        "lr": 1e-3,
+    })
+    state = init_train_state(
+        model.clone(tp_axis=None), tx, jax.random.PRNGKey(0),
+        jnp.zeros((1, 80, 80, 3)), mesh=mesh, tp_fused=True,
+    )
+    sharding = state_shardings(state, mesh, tp_fused=True)
+    batch_shard = {
+        "image": NamedSharding(mesh, P(None, "data")),
+        "label": NamedSharding(mesh, P(None, "data")),
+    }
+    step = make_train_step(
+        make_loss_fn(model), tx, 2,
+        mesh=mesh, state_sharding=sharding, batch_sharding=batch_shard,
+        tp_fused=True,
+    )
+    batch = {
+        "image": jnp.ones((2, 4, 80, 80, 3), jnp.float32),
+        "label": jnp.zeros((2, 4), jnp.int32),
+    }
+    batch = jax.device_put(batch, batch_shard)
+    jaxpr = str(jax.make_jaxpr(
+        lambda s, b: step(s, b, 1e-3, jax.random.PRNGKey(0))
+    )(state, batch))
+    n_pallas = jaxpr.count("pallas_call")
+    # depth=2 blocks x (attention + mlp) x (fwd in fwd-pass + fwd-rule
+    # recompute/bwd in bwd-pass) >= 8; GSPMD TP would show 0 inside the
+    # step when the kernels are bypassed (they never trace under it —
+    # the model here always calls them, so assert the psum boundary too)
+    assert n_pallas >= 8, jaxpr[:2000]
+    assert jaxpr.count("psum") >= 8  # partial_out per block half
