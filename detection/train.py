@@ -238,11 +238,22 @@ def train(config):
                 )
                 for k in ("image", "labels", "boxes", "valid")
             }
+            # transfer ONCE, then feed device arrays to both programs:
+            # the tunneled TPU client leaks host RSS proportional to H2D
+            # traffic (ROUND3_NOTES), and the matcher re-transferring the
+            # host batch doubled it
             if split_match:
+                step_in = shard_host_batch(step_in, {
+                    k: batch_shard[k] for k in step_in
+                })
                 # separate matcher program (see training/detection.py:
-                # make_match_fn for why)
-                step_in["src_idx"] = match_fn(state, step_in)
-            step_in = shard_host_batch(step_in, batch_shard)
+                # make_match_fn for why); re-lay its output to the
+                # batch sharding (device-to-device, no host copy)
+                step_in["src_idx"] = jax.device_put(
+                    match_fn(state, step_in), batch_shard["src_idx"]
+                )
+            else:
+                step_in = shard_host_batch(step_in, batch_shard)
             state, metrics = train_step(
                 state, step_in, lr, jax.random.fold_in(rng, iteration)
             )

@@ -362,13 +362,19 @@ def _blocked_backward(q, k, v, o, g_out, lse, scale, n_valid):
 # backward
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dsum_ref,
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref,
                 dq_ref, dk_ref, dv_ref, *, scale, n_valid, group):
     q = q_ref[0]   # (G, NP, D)
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
-    dsum = dsum_ref[0]  # (G, NP, 1) fp32
+    # dsum = rowsum(do * o) computed IN-KERNEL from blocks already
+    # resident in VMEM — the former standalone XLA reduction re-read
+    # do and o from HBM (~155MB/layer at ViT-S/16 batch 512)
+    dsum = jnp.sum(
+        do.astype(jnp.float32) * o_ref[0].astype(jnp.float32),
+        axis=-1, keepdims=True,
+    )  # (G, NP, 1) fp32
     s = _bdot(q, k, ((2,), (2,))) * scale  # (G, NQ, NK)
     p = _softmax_masked3(s, n_valid)
     rowi = jax.lax.broadcasted_iota(jnp.int32, p.shape, 1)
@@ -399,24 +405,16 @@ def _flash_backward(q, k, v, o, g_out, scale, n_valid=None):
     kp = _pad_group(k, dtype, n_pad, g)
     vp = _pad_group(v, dtype, n_pad, g)
     dop = _pad_group(g_out, dtype, n_pad, g)
-    bh = b * h
-    dsum = jnp.sum(
-        g_out.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
-    ).reshape(bh, n)
-    dsum = jnp.pad(
-        dsum, ((0, _ceil_to(bh, g) - bh), (0, n_pad - n))
-    ).reshape(-1, g, n_pad, 1)
+    op = _pad_group(o, dtype, n_pad, g)
     n_groups = qp.shape[0]
 
     spec = pl.BlockSpec((1, g, n_pad, d), lambda i: (i, 0, 0, 0),
                         memory_space=pltpu.VMEM)
-    dsum_spec = pl.BlockSpec((1, g, n_pad, 1), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, n_valid=n_valid,
                           group=g),
         grid=(n_groups,),
-        in_specs=[spec, spec, spec, spec, dsum_spec],
+        in_specs=[spec, spec, spec, spec, spec],
         out_specs=(spec, spec, spec),
         out_shape=(
             jax.ShapeDtypeStruct(qp.shape, q.dtype),
@@ -426,7 +424,7 @@ def _flash_backward(q, k, v, o, g_out, scale, n_valid=None):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_interpret(),
-    )(qp, kp, vp, dop, dsum)
+    )(qp, kp, vp, dop, op)
 
     def unpad(x, like):
         x = x.reshape(-1, n_pad, d)[: b * h, :n, :]

@@ -3,10 +3,12 @@
 process, sequentially (compiles are server-side and slow; a single
 process reuses the compilation cache across points).
 
-Run: python tools/perf/group_sweep.py
+Run: python tools/perf/group_sweep.py [--dim 384 --heads 6 --batch 512]
+(--dim 192 --heads 3 sweeps the ViT-Tiny shapes; --mlp_ratio 4 fixed.)
 """
 from __future__ import annotations
 
+import argparse
 import os
 import time
 
@@ -17,17 +19,28 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-B, N, C, H = 512, 197, 384, 6
-D = C // H
-SCALE = D ** -0.5
 ITERS = 100
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dim", type=int, default=384)
+    ap.add_argument("--heads", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--seq", type=int, default=197)
+    ap.add_argument("--mlp_ratio", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=ITERS)
+    args = ap.parse_args()
+
     from myrtle_vision_tpu.ops.fused_attention_block import (
         fused_attention_block,
     )
     from myrtle_vision_tpu.ops.fused_mlp import fused_mlp_block
+
+    B, N, C, H = args.batch, args.seq, args.dim, args.heads
+    D = C // H
+    SCALE = D ** -0.5
+    iters = args.iters
 
     rng = jax.random.PRNGKey(0)
     ks = jax.random.split(rng, 8)
@@ -39,9 +52,10 @@ def main():
     bqkv = jax.random.normal(ks[2], (3 * C,), jnp.float32) * 0.01
     wp = jax.random.normal(ks[3], (C, C), dt) * 0.05
     bp = jax.random.normal(ks[4], (C,), jnp.float32) * 0.01
-    w1 = jax.random.normal(ks[5], (C, 4 * C), dt) * 0.05
-    b1 = jnp.zeros((4 * C,), jnp.float32)
-    w2 = jax.random.normal(ks[6], (4 * C, C), dt) * 0.05
+    hidden = args.mlp_ratio * C
+    w1 = jax.random.normal(ks[5], (C, hidden), dt) * 0.05
+    b1 = jnp.zeros((hidden,), jnp.float32)
+    w2 = jax.random.normal(ks[6], (hidden, C), dt) * 0.05
     b2 = jnp.zeros((C,), jnp.float32)
 
     def attn(x):
@@ -65,23 +79,31 @@ def main():
         def loop(x):
             def body(carry, _):
                 return step(carry), None
-            out, _ = jax.lax.scan(body, x, None, length=ITERS)
+            out, _ = jax.lax.scan(body, x, None, length=iters)
             return out
 
         loop(x).block_until_ready()
         t0 = time.perf_counter()
         loop(x).block_until_ready()
-        return (time.perf_counter() - t0) / ITERS
+        return (time.perf_counter() - t0) / iters
 
     points = [
-        ("attn fwd", "MVT_ATTN_FWD_GROUP", attn, False, [4, 8, 16]),
-        ("mlp fwd", "MVT_MLP_FWD_GROUP", mlp, False, [4, 8, 16]),
-        ("mlp bwd", "MVT_MLP_BWD_GROUP", mlp, True, [2, 4, 8]),
+        ("attn fwd", "MVT_ATTN_FWD_GROUP", attn, False, [4, 8, 16, 32]),
+        ("attn bwd", "MVT_ATTN_BWD_GROUP", attn, True, [2, 4, 8, 16]),
+        ("mlp fwd", "MVT_MLP_FWD_GROUP", mlp, False, [4, 8, 16, 32]),
+        ("mlp bwd", "MVT_MLP_BWD_GROUP", mlp, True, [2, 4, 8, 16]),
     ]
+    print(f"shapes: B={B} N={N} C={C} H={H} D={D} hidden={hidden}",
+          flush=True)
     for name, env, fn, grad, gs in points:
         for g in gs:
             os.environ[env] = str(g)
-            dtm = timeit(fn, grad)
+            try:
+                dtm = timeit(fn, grad)
+            except Exception as e:  # VMEM overflow at large groups
+                print(f"{name:10s} g={g:<3d} FAILED: "
+                      f"{str(e).splitlines()[0][:80]}", flush=True)
+                continue
             print(f"{name:10s} g={g:<3d} {dtm*1e3:8.3f} ms/iter",
                   flush=True)
         del os.environ[env]
