@@ -106,7 +106,16 @@ def make_train_step(
     The returned function has signature
       (state, batch, lr, rng) -> (state, metrics)
     where batch leaves are [n_accum, local_batch, ...].
+
+    ``MVT_NO_DONATE=1`` disables input-state donation: XLA:CPU
+    mis-counts donated buffers when the step embeds the fori_loop-heavy
+    device matcher ("Execution supplied N buffers but compiled program
+    expected M" on the second call) — the flag trades ~the state's
+    footprint in HBM for a working program there.  TPU keeps donation.
     """
+    import os
+
+    donate = () if os.environ.get("MVT_NO_DONATE") == "1" else (0,)
 
     def step(state: TrainState, batch, lr, rng, axis_name=None):
         opt_state = set_learning_rate(state.opt_state, lr)
@@ -190,7 +199,7 @@ def make_train_step(
         return new_state, metrics
 
     if mesh is None:
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=donate)
 
     n_tp = mesh.devices.shape[1]
     if n_tp == 1 or tp_fused:
@@ -229,7 +238,7 @@ def make_train_step(
                 NamedSharding(mesh, P()),
             ),
             out_shardings=(state_sharding, NamedSharding(mesh, P())),
-            donate_argnums=(0,),
+            donate_argnums=donate,
         )
 
     # tensor parallel: GSPMD partitions the matmuls across the model axis
@@ -244,7 +253,7 @@ def make_train_step(
             NamedSharding(mesh, P()),
         ),
         out_shardings=(state_sharding, NamedSharding(mesh, P())),
-        donate_argnums=(0,),
+        donate_argnums=donate,
     )
 
 

@@ -333,15 +333,30 @@ def from_config(transform_config) -> Compose:
 # Batch collation: static-shape padding for TPU
 # ---------------------------------------------------------------------------
 
-def pad_to_bucket(size: int, granularity: int = 128):
+def pad_to_bucket(size: int, granularity: int = 16):
     """Round a spatial dim up to a bucket boundary: bounded set of distinct
     compiled shapes instead of the reference's per-batch max padding
     (NestedTensor, reference detection.py:59-81), which would trigger an XLA
-    recompile for every new (H, W)."""
+    recompile for every new (H, W).
+
+    Default granularity is the PATCH SIZE (16): the reference's resize
+    already snaps H,W down to multiples of 16 (detection.py:188-207), so
+    16-granularity reproduces the reference's canvas geometry EXACTLY for
+    resize-ending pipelines (the compiled-shape count is bounded by the
+    config's scale set, e.g. 23 for DIOR train, 1 for its val).  Round 3
+    measured the earlier 128-granularity padding a 160px control to a
+    256px canvas — each stack's model only scored on its own geometry
+    (cross-stack AP 0.044 -> 0.0017).  Set MVT_COLLATE_BUCKET to coarsen
+    when a crop-heavy pipeline produces too many distinct widths."""
+    import os
+
+    env = os.environ.get("MVT_COLLATE_BUCKET")
+    if env:
+        granularity = int(env)
     return -(-size // granularity) * granularity
 
 
-def collate_detection(items, max_boxes: int = 100, bucket: int = 128):
+def collate_detection(items, max_boxes: int = 100, bucket: int = 16):
     """Collate [(image HWC float32, target), ...] into static-shape arrays:
 
       image: (B, Hb, Wb, 3) zero-padded (the reference model ignores the
