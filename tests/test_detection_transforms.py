@@ -155,6 +155,29 @@ class TestCollate:
         assert batch["valid"].sum() == 3
         assert batch["size"][0].tolist() == [80, 100]
 
+    def test_default_bucket_is_reference_geometry(self):
+        """The default granularity is the patch size (16): for mod-16
+        inputs (everything the resize DSL emits — it snaps H,W down to
+        multiples of 16 like the reference's detection.py:188-207), the
+        collated canvas is EXACTLY the batch max, i.e. the reference's
+        NestedTensor padding geometry (detection.py:59-81).  Round 3
+        measured that a coarser bucket (160 -> 256 canvas) makes models
+        from the two stacks non-comparable (BASELINE.md row 5)."""
+        items = []
+        for w, h in [(160, 160), (144, 160)]:
+            img, tgt = make_sample(w, h)
+            items.append((np.zeros((h, w, 3), np.float32), tgt))
+        batch = T.collate_detection(items, max_boxes=4)
+        assert batch["image"].shape == (2, 160, 160, 3)
+
+    def test_bucket_env_override(self, monkeypatch):
+        monkeypatch.setenv("MVT_COLLATE_BUCKET", "128")
+        img, tgt = make_sample(160, 160)
+        batch = T.collate_detection(
+            [(np.zeros((160, 160, 3), np.float32), tgt)], max_boxes=4
+        )
+        assert batch["image"].shape == (1, 256, 256, 3)
+
 
 class TestAuxTransforms:
     def test_random_crop_fixed_size(self):
