@@ -22,6 +22,31 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
+# Liveness watchdog: when the TPU tunnel is down, the first device call
+# blocks forever (the axon client retries silently) — bail out with a
+# diagnostic instead of hanging the caller.  Generous budget: a cold
+# server-side Mosaic compile can take ~10 min.  MVT_BENCH_WATCHDOG=0
+# disables; any other value overrides the seconds.
+_WATCHDOG_S = float(os.environ.get("MVT_BENCH_WATCHDOG", 1500))
+if _WATCHDOG_S > 0:
+    import threading
+
+    _alive = threading.Event()
+
+    def _watchdog():
+        if not _alive.wait(_WATCHDOG_S):
+            print(
+                f"bench: no device response within {_WATCHDOG_S:.0f}s "
+                "(TPU tunnel down?) — aborting",
+                file=sys.stderr,
+                flush=True,
+            )
+            os._exit(42)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+else:
+    _alive = None
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -247,6 +272,10 @@ def _round1_train_ips():
 
 
 def main():
+    # first device round-trip: releases the liveness watchdog
+    jax.block_until_ready(jnp.zeros(()) + 1)
+    if _alive is not None:
+        _alive.set()
     if CONVERTED:
         train_ips, infer_ips = bench_converted_int8()
     else:
