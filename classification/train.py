@@ -24,6 +24,7 @@ from myrtle_vision_tpu.parallel.collectives import initialize_multihost
 from myrtle_vision_tpu.datasets.resisc45 import Resisc45
 from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
 from myrtle_vision_tpu.parallel.mesh import mesh_from_dist_config
+from myrtle_vision_tpu.parallel.tp import fused_gate as tp_fused_gate
 from myrtle_vision_tpu.training.classification import (
     make_loss_fn,
     make_predict_fn,
@@ -185,18 +186,11 @@ def train(config):
     # each Block runs the fused Pallas kernels on its local head slice;
     # falls back to the GSPMD TP path (gathers around the kernels) when
     # unsupported (quant formats, distillation, non-dividing heads)
-    n_tp = mesh.devices.shape[1]
-    tp_fused = (
-        n_tp > 1
-        and distiller is None
-        and vit.q_format.name == "FP32"
-        and vit.heads % n_tp == 0
-        and vit.mlp_dim % n_tp == 0
-        and os.environ.get("MVT_NO_FUSE") != "1"
+    tp_fused, tp_model = tp_fused_gate(
+        vit, mesh, extra_ok=distiller is None
     )
     if tp_fused:
-        train_model = vit.clone(tp_axis="model")
-        print(f"tensor parallel: fused-kernel head sharding (x{n_tp})")
+        train_model = tp_model
 
     tx = create_optimizer(train_config)
     sample = jnp.zeros(

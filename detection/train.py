@@ -30,6 +30,7 @@ from myrtle_vision_tpu.datasets.coco import CocoDetection
 from myrtle_vision_tpu.models.detector import build_weight_dict
 from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
 from myrtle_vision_tpu.parallel.mesh import mesh_from_dist_config
+from myrtle_vision_tpu.parallel.tp import fused_gate as tp_fused_gate
 from myrtle_vision_tpu.training.detection import (
     evaluate_coco,
     make_detect_fn,
@@ -138,19 +139,8 @@ def train(config):
     )
 
     vit = ViT(**vit_kwargs_from_config(config, data_config))
-    # head-sharded TP through the fused kernels (parallel/tp.py); see
-    # classification/train.py for the gate rationale
-    n_tp = mesh.devices.shape[1]
-    tp_fused = (
-        n_tp > 1
-        and vit.q_format.name == "FP32"
-        and vit.heads % n_tp == 0
-        and vit.mlp_dim % n_tp == 0
-        and os.environ.get("MVT_NO_FUSE") != "1"
-    )
-    train_model = vit.clone(tp_axis="model") if tp_fused else vit
-    if tp_fused:
-        print(f"tensor parallel: fused-kernel head sharding (x{n_tp})")
+    # head-sharded TP through the fused kernels (parallel/tp.py)
+    tp_fused, train_model = tp_fused_gate(vit, mesh)
     tx = create_optimizer(train_config)
     state = init_train_state(
         vit,

@@ -95,3 +95,32 @@ def shard_rows(w, idx, n_shards: int):
     """Local row block ``idx`` of ``w`` (R, ...)."""
     rl = w.shape[0] // n_shards
     return lax.dynamic_slice_in_dim(w, idx * rl, rl, axis=0)
+
+
+def fused_gate(vit, mesh, extra_ok: bool = True):
+    """Trainer-side gate for the head-sharded fused-kernel TP path.
+
+    Returns (tp_fused, train_model): the model cloned with
+    ``tp_axis="model"`` when every condition holds, the original model
+    otherwise (GSPMD TP fallback — gathers around the Pallas calls).
+    Conditions: a model axis > 1; FP32 (the stateless quant formats snap
+    the residual sum in-kernel — nonlinear over per-shard partials);
+    heads and MLP columns divisible by the shard count; fusion not
+    disabled; ``extra_ok`` for caller-specific exclusions (e.g.
+    distillation wraps the model and bypasses the Block fast path).
+    """
+    import os
+
+    n_tp = mesh.devices.shape[1]
+    tp_fused = (
+        n_tp > 1
+        and extra_ok
+        and vit.q_format.name == "FP32"
+        and vit.heads % n_tp == 0
+        and vit.mlp_dim % n_tp == 0
+        and os.environ.get("MVT_NO_FUSE") != "1"
+    )
+    if tp_fused:
+        print(f"tensor parallel: fused-kernel head sharding (x{n_tp})")
+        return True, vit.clone(tp_axis="model")
+    return False, vit
