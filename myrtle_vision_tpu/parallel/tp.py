@@ -103,21 +103,37 @@ def fused_gate(vit, mesh, extra_ok: bool = True):
     Returns (tp_fused, train_model): the model cloned with
     ``tp_axis="model"`` when every condition holds, the original model
     otherwise (GSPMD TP fallback — gathers around the Pallas calls).
-    Conditions: a model axis > 1; FP32 (the stateless quant formats snap
-    the residual sum in-kernel — nonlinear over per-shard partials);
-    heads and MLP columns divisible by the shard count; fusion not
-    disabled; ``extra_ok`` for caller-specific exclusions (e.g.
-    distillation wraps the model and bypasses the Block fast path).
+    Conditions mirror the Block-level ``fuse`` gate exactly — if the
+    Blocks would run unfused, enabling tp_fused would silently
+    degenerate to fully redundant compute on every model shard:
+      - a model axis > 1; ``extra_ok`` for caller exclusions (e.g.
+        distillation wraps the model, bypassing the Block fast path);
+      - FP32 (the stateless quant formats snap the residual sum
+        in-kernel — nonlinear over per-shard partial sums);
+      - heads and MLP columns divisible by the shard count;
+      - dropout == 0 (the fused kernels have no dropout; training runs
+        non-deterministic, so any dropout disables the Block fuse);
+      - the attention working set fits the per-kernel VMEM ceiling at
+        this model's TRAINING sequence length (``fuses_at`` — e.g.
+        DIOR-scale 800px inputs take the flash path instead);
+      - fusion not globally disabled (MVT_NO_FUSE).
     """
     import os
 
+    from myrtle_vision_tpu.ops.fused_attention_block import fuses_at
+
     n_tp = mesh.devices.shape[1]
+    seq = (vit.image_size // vit.patch_size) ** 2 + 1
+    if vit.decoder == "detection":
+        seq += vit.num_det_tokens
     tp_fused = (
         n_tp > 1
         and extra_ok
         and vit.q_format.name == "FP32"
         and vit.heads % n_tp == 0
         and vit.mlp_dim % n_tp == 0
+        and vit.dropout == 0.0
+        and fuses_at(seq, vit.heads, vit.dim // vit.heads)
         and os.environ.get("MVT_NO_FUSE") != "1"
     )
     if tp_fused:

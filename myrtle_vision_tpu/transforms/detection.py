@@ -333,7 +333,7 @@ def from_config(transform_config) -> Compose:
 # Batch collation: static-shape padding for TPU
 # ---------------------------------------------------------------------------
 
-def pad_to_bucket(size: int, granularity: int = 16):
+def pad_to_bucket(size: int, granularity=None):
     """Round a spatial dim up to a bucket boundary: bounded set of distinct
     compiled shapes instead of the reference's per-batch max padding
     (NestedTensor, reference detection.py:59-81), which would trigger an XLA
@@ -347,16 +347,16 @@ def pad_to_bucket(size: int, granularity: int = 16):
     measured the earlier 128-granularity padding a 160px control to a
     256px canvas — each stack's model only scored on its own geometry
     (cross-stack AP 0.044 -> 0.0017).  Set MVT_COLLATE_BUCKET to coarsen
-    when a crop-heavy pipeline produces too many distinct widths."""
+    when a crop-heavy pipeline produces too many distinct widths; an
+    EXPLICIT granularity argument always wins over the env var."""
     import os
 
-    env = os.environ.get("MVT_COLLATE_BUCKET")
-    if env:
-        granularity = int(env)
+    if granularity is None:
+        granularity = int(os.environ.get("MVT_COLLATE_BUCKET", 16))
     return -(-size // granularity) * granularity
 
 
-def collate_detection(items, max_boxes: int = 100, bucket: int = 16):
+def collate_detection(items, max_boxes: int = 100, bucket=None):
     """Collate [(image HWC float32, target), ...] into static-shape arrays:
 
       image: (B, Hb, Wb, 3) zero-padded (the reference model ignores the

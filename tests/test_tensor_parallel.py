@@ -130,6 +130,8 @@ def test_tp_fused_runs_the_fused_kernels():
     gathers).  Assert via the traced step: one fused-attention + one
     fused-MLP pallas_call per block per direction appear inside the
     shard_map'd train step."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
     mesh = make_mesh(num_devices=8, tensor_parallel=2)
     model = ViT(
         decoder="classification", image_size=80, patch_size=16,

@@ -101,8 +101,8 @@ def main():
             try:
                 dtm = timeit(fn, grad)
             except Exception as e:  # VMEM overflow at large groups
-                print(f"{name:10s} g={g:<3d} FAILED: "
-                      f"{str(e).splitlines()[0][:80]}", flush=True)
+                msg = (str(e).splitlines() or ["<no message>"])[0][:80]
+                print(f"{name:10s} g={g:<3d} FAILED: {msg}", flush=True)
                 continue
             print(f"{name:10s} g={g:<3d} {dtm*1e3:8.3f} ms/iter",
                   flush=True)

@@ -35,9 +35,11 @@ cfg = json.load(open(os.environ["PARITY_CFG"]))
 
 from myrtle_vision_tpu.data.loader import DataLoader
 from myrtle_vision_tpu.datasets.coco import CocoDetection
-from myrtle_vision_tpu.eval.coco_eval import CocoEvaluator
 from myrtle_vision_tpu.models.vit import ViT, vit_kwargs_from_config
-from myrtle_vision_tpu.training.detection import make_detect_fn, post_process
+from myrtle_vision_tpu.training.detection import (
+    evaluate_coco,
+    make_detect_fn,
+)
 from myrtle_vision_tpu.training.optim import create_optimizer
 from myrtle_vision_tpu.training.trainer import init_train_state
 from myrtle_vision_tpu.utils.checkpoint import prepare_model_and_load_ckpt
@@ -109,25 +111,20 @@ rv.eval()
 
 detect = make_detect_fn(vit)
 ref_pp = PostProcess()
-eval_ours = CocoEvaluator(testset.coco)
 eval_ref = RefCocoEvaluator(COCO(ann_file), ["bbox"])
 
+# ours: the PRODUCTION eval path itself (training/detection.py), so the
+# parity number cannot drift from what training/test.py report
+print("--- our stack ---")
+eval_ours = evaluate_coco(detect, state, loader, testset.coco)
+
+# reference stack on the SAME batches (the loader is deterministic at
+# epoch 0), plus raw-output deltas against our forward
 n = 0
 dlogits = dboxes = 0.0
 for batch in loader.epoch(0):
     imgs = jnp.asarray(batch["image"])
     out = detect(state.params, state.quant, imgs)
-    results = post_process(out, jnp.asarray(batch["orig_size"]))
-    eval_ours.update(
-        {
-            int(img_id): {
-                "scores": np.asarray(results["scores"])[i],
-                "labels": np.asarray(results["labels"])[i],
-                "boxes": np.asarray(results["boxes"])[i],
-            }
-            for i, img_id in enumerate(batch["image_id"])
-        }
-    )
 
     timg = torch.from_numpy(
         np.ascontiguousarray(
@@ -162,10 +159,6 @@ for batch in loader.epoch(0):
     )
     n += len(batch["image_id"])
 
-print("--- our stack ---")
-eval_ours.synchronize_between_processes()
-eval_ours.accumulate()
-eval_ours.summarize()
 print("--- reference stack ---")
 eval_ref.synchronize_between_processes()
 eval_ref.accumulate()
