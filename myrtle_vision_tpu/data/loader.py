@@ -73,6 +73,15 @@ class DataLoader:
                     "process_shard requires drop_last=True (a ragged "
                     "final batch cannot be evenly sharded over processes)"
                 )
+            if pad_last:
+                # the shard branch recomputes n_valid AFTER padding, so
+                # combining them would tag pad duplicates as valid and
+                # inflate eval metrics — reject rather than miscount
+                raise ValueError(
+                    "pad_last is incompatible with process_shard; "
+                    "shard-evaluate with drop_last or evaluate on one "
+                    "process"
+                )
             micro = batch_size // accum_steps
             if batch_size % accum_steps or micro % pcount:
                 raise ValueError(

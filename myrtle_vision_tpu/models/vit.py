@@ -515,6 +515,17 @@ class Block(nn.Module):
             and fuses_at(x.shape[1], self.heads, self.dim_head)
         )
         qspec = _QSPECS.get(self.q_format)
+
+        def _qw(w, kind):
+            # converted stateless checkpoints store weights as REAL
+            # fp16 arrays; cast to the compute dtype outside the
+            # kernel (exact, matching the unfused QDense's
+            # kernel.astype) so Mosaic refs stay fp32.  Shared by
+            # the attention and MLP fused branches so their weight
+            # quantization can never diverge.
+            return quantize_weight(
+                w, self.q_format, kind, self.converted
+            ).astype(self.dtype)
         # head-sharded tensor parallelism through the fused kernels
         # (parallel/tp.py): FP32 only — the stateless quant formats snap
         # the residual sum in-kernel, which is nonlinear and cannot be
@@ -559,15 +570,6 @@ class Block(nn.Module):
                 )
                 x = tp_lib.partial_out(part, tp)
             elif fuse:
-                # converted stateless checkpoints store weights as REAL
-                # fp16 arrays; cast to the compute dtype outside the
-                # kernel (exact, matching the unfused QDense's
-                # kernel.astype) so Mosaic refs stay fp32
-                def _qw(w, kind):
-                    return quantize_weight(
-                        w, self.q_format, kind, self.converted
-                    ).astype(self.dtype)
-
                 x = fused_attention_block(
                     x.astype(self.dtype),
                     _qw(self.attn_norm.scale_p, "norm"),
@@ -625,11 +627,6 @@ class Block(nn.Module):
                 )
                 x = tp_lib.partial_out(part, tp)
             elif fuse:
-                def _qw(w, kind):
-                    return quantize_weight(
-                        w, self.q_format, kind, self.converted
-                    ).astype(self.dtype)
-
                 x = fused_mlp_block(
                     x.astype(self.dtype),
                     _qw(self.ffn_norm.scale_p, "norm"),

@@ -22,7 +22,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from myrtle_vision_tpu.ops.high_precision import dot_high3
+from myrtle_vision_tpu.ops.high_precision import (
+    bdot_pv_high3,
+    bdot_qk_high3,
+)
 
 
 
@@ -63,9 +66,12 @@ def multi_head_attention(
     # pass); the same decomposition runs inside the fused quant kernels
     # so the two paths stay bit-identical
     fp32_core = q.dtype == jnp.float32
-    bdims = (((3,), (3,)), ((0, 1), (0, 1)))
     if fp32_core:
-        scores = dot_high3(q, k, bdims)
+        # custom-VJP 3-pass dots: plain autodiff through the hi/lo
+        # split would truncate the cotangent to one bf16 pass
+        scores = bdot_qk_high3(
+            q.astype(jnp.float32), k.astype(jnp.float32)
+        )
     else:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
@@ -75,9 +81,8 @@ def multi_head_attention(
         col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
         scores = jnp.where(col < seq_valid, scores, -1e30)
     probs = jax.nn.softmax(scores, axis=-1)
-    pv_dims = (((3,), (2,)), ((0, 1), (0, 1)))
     if fp32_core:
-        out = dot_high3(probs, v, pv_dims).astype(v.dtype)
+        out = bdot_pv_high3(probs, v.astype(jnp.float32)).astype(v.dtype)
     else:
         out = jnp.einsum(
             "bhqk,bhkd->bhqd",

@@ -212,3 +212,26 @@ def _int8_symmetric_bwd(_, g):
 
 _int8_symmetric_ste.defvjp(_int8_symmetric_fwd, _int8_symmetric_bwd)
 int8_symmetric_fake_quant_ste = _int8_symmetric_ste
+
+
+# In-kernel site helpers shared by BOTH fused block kernels
+# (ops/fused_attention_block.py, ops/fused_mlp.py) — single-sourced so
+# the bit-identity guarantee between the fused and discrete-site paths
+# (tests/test_golden_values.py::TestFusedQuantBitIdentity) cannot drift
+# per kernel.  ``qspec`` is the static (exp_bits, man_bits, all_sites)
+# of a stateless float format, or None for FP32.  No STE needed
+# in-kernel: the sites sit inside custom-VJP kernels whose backward
+# already treats them as straight-through.
+
+def snap(x, qspec):
+    """pre_linear-site snap (all stateless float formats)."""
+    if qspec is None:
+        return x
+    return float_quantize(x, qspec[0], qspec[1])
+
+
+def snap_all(x, qspec):
+    """post_op/functional/gelu-site snap (all-sites formats, FP16_16)."""
+    if qspec is None or not qspec[2]:
+        return x
+    return float_quantize(x, qspec[0], qspec[1])

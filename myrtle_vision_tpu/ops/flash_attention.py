@@ -150,6 +150,8 @@ def _flash_forward(q, k, v, scale, n_valid=None):
 
 
 def _xla_attention(q, k, v, scale, n_valid=None):
+    """Reference oracle for the kernel parity tests
+    (tests/test_flash_attention.py) — not a production path."""
     s = jnp.einsum(
         "bhqd,bhkd->bhqk",
         q.astype(jnp.float32),
@@ -208,8 +210,12 @@ def _blk_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
     @pl.when(j == n_kv - 1)
     def _finalize():
         l = l_scr[...]
-        # padded query rows never see a valid key: l == 0 there; guard the
-        # divide (those rows are sliced away by the caller)
+        # NOTE padded query rows do NOT have l == 0: every masked score
+        # is _NEG, so e = exp(_NEG - _NEG) = 1 and l accumulates to
+        # n_pad; their lse comes out ~_NEG + log(n_pad), which keeps the
+        # backward's p = exp(s - lse) FINITE (= 1/n_pad) — those rows
+        # are then discarded by the row < n_valid masks and the caller's
+        # slice.  The guard below only defends a hypothetical l == 0.
         o = acc_scr[...] / jnp.where(l > 0.0, l, 1.0)
         o_ref[0] = o.astype(o_ref.dtype)
         lse_ref[0] = m_scr[...] + jnp.log(jnp.where(l > 0.0, l, 1.0))
@@ -434,6 +440,9 @@ def _flash_backward(q, k, v, o, g_out, scale, n_valid=None):
 
 
 def _xla_backward(q, k, v, g_out, scale, n_valid=None):
+    """Reference oracle for the kernel parity tests — the custom
+    VJP routes long sequences to _blocked_backward, so this is not
+    reached in production."""
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)

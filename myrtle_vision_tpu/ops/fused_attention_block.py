@@ -64,28 +64,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from myrtle_vision_tpu.ops.fake_quant import float_quantize
+from myrtle_vision_tpu.ops.fake_quant import (
+    float_quantize,
+    snap as _snap,
+    snap_all as _snap_all,
+)
 from myrtle_vision_tpu.ops.high_precision import dot_high3
 
 _EPS = 1e-5
-
-
-def _snap(x, qspec):
-    """In-kernel float-format fake-quant (fp32 -> fp32 on the format's
-    grid); identity when qspec is None.  No STE needed in-kernel: the
-    sites sit inside a custom_vjp whose backward already treats them as
-    straight-through."""
-    if qspec is None:
-        return x
-    return float_quantize(x, qspec[0], qspec[1])
-
-
-def _snap_all(x, qspec):
-    """Snap only at the all-sites formats (FP16_16's post_op/functional
-    observers); identity for the pre_linear-only formats."""
-    if qspec is None or not qspec[2]:
-        return x
-    return float_quantize(x, qspec[0], qspec[1])
 
 
 def _interpret() -> bool:
@@ -380,7 +366,7 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
 
     Quant path: the sites are straight-through, so only the RECOMPUTED
     forward intermediates change (same snaps as the forward); dots keep
-    the forward's precisions (all HIGHEST, like the forward)."""
+    the forward's precisions (3-pass dot_high3, like the forward)."""
     dtype = x.dtype
     # ---- recompute forward (projection + scores only) ----
     qkv, xn, xhat, rstd = _qkv_rows(

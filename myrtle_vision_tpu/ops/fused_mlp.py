@@ -40,7 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from myrtle_vision_tpu.ops.fake_quant import float_quantize
+from myrtle_vision_tpu.ops.fake_quant import (
+    float_quantize,
+    snap as _snap,
+    snap_all as _snap_all,
+)
 from myrtle_vision_tpu.ops.high_precision import dot_high3
 
 _EPS = 1e-5
@@ -59,20 +63,6 @@ def _mm(a, b, qspec, dims=None):
     return jax.lax.dot_general(
         a, b, dims, preferred_element_type=jnp.float32
     )
-
-
-def _snap(x, qspec):
-    """pre_linear-site snap (all stateless float formats)."""
-    if qspec is None:
-        return x
-    return float_quantize(x, qspec[0], qspec[1])
-
-
-def _snap_all(x, qspec):
-    """post_op/functional/gelu-site snap (FP16_16 only)."""
-    if qspec is None or not qspec[2]:
-        return x
-    return float_quantize(x, qspec[0], qspec[1])
 
 
 def _interpret() -> bool:

@@ -87,3 +87,57 @@ def _mm_bwd(res, do):
 
 
 matmul_high3.defvjp(_mm_fwd, _mm_bwd)
+
+
+# Batched attention-core contractions with 3-pass backward.  The
+# unfused quant attention path (ops/attention.py) differentiates through
+# its score and PV dots; bare ``dot_high3`` under autodiff silently
+# drops the cotangent's low bf16 half (same pitfall matmul_high3 fixes),
+# so these wrap the two (b, h, ...) contractions with hand-written
+# 3-pass backward dots.
+
+_B2 = ((0, 1), (0, 1))  # leading (batch, heads) axes
+
+
+@jax.custom_vjp
+def bdot_qk_high3(q, k):
+    """scores[b,h,n,m] = sum_d q[b,h,n,d] * k[b,h,m,d] at 3-pass
+    precision (fp32 in/out)."""
+    return dot_high3(q, k, (((3,), (3,)), _B2))
+
+
+def _qk_fwd(q, k):
+    return bdot_qk_high3(q, k), (q, k)
+
+
+def _qk_bwd(res, ds):
+    q, k = res
+    ds = ds.astype(jnp.float32)
+    dq = dot_high3(ds, k, (((3,), (2,)), _B2))  # sum_m ds[...,n,m] k[...,m,d]
+    dk = dot_high3(ds, q, (((2,), (2,)), _B2))  # sum_n ds[...,n,m] q[...,n,d]
+    return dq.astype(q.dtype), dk.astype(k.dtype)
+
+
+bdot_qk_high3.defvjp(_qk_fwd, _qk_bwd)
+
+
+@jax.custom_vjp
+def bdot_pv_high3(p, v):
+    """out[b,h,n,d] = sum_m p[b,h,n,m] * v[b,h,m,d] at 3-pass
+    precision (fp32 in/out)."""
+    return dot_high3(p, v, (((3,), (2,)), _B2))
+
+
+def _pv_fwd(p, v):
+    return bdot_pv_high3(p, v), (p, v)
+
+
+def _pv_bwd(res, g):
+    p, v = res
+    g = g.astype(jnp.float32)
+    dp = dot_high3(g, v, (((3,), (3,)), _B2))  # sum_d g[...,n,d] v[...,m,d]
+    dv = dot_high3(p, g, (((2,), (2,)), _B2))  # sum_n p[...,n,m] g[...,n,d]
+    return dp.astype(p.dtype), dv.astype(v.dtype)
+
+
+bdot_pv_high3.defvjp(_pv_fwd, _pv_bwd)

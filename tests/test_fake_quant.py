@@ -127,3 +127,57 @@ class TestInt8:
         np.testing.assert_allclose(
             np.asarray(out), [0.0, -0.3, 12.7], atol=1e-6
         )
+
+
+class TestHighPrecisionVJP:
+    def test_attention_core_dots_keep_3pass_gradients(self):
+        """The unfused quant attention core's score/PV dots must carry
+        3-pass (HIGH-grade) GRADIENTS, not just forwards: plain autodiff
+        through the hi/lo bf16 split zeroes the lo branch's cotangent
+        and runs the transposed dots at DEFAULT (one bf16 pass).  The
+        custom-VJP wrappers (ops/high_precision.py bdot_qk_high3 /
+        bdot_pv_high3) must land within 2^-14 relative of the fp64
+        reference gradient (the 3-pass decomposition keeps ~2^-16
+        relative on arbitrary fp32 operands; exact only for snapped
+        <=16-bit mantissas), far tighter than bf16-grade ~2^-8."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from myrtle_vision_tpu.ops.high_precision import (
+            bdot_pv_high3,
+            bdot_qk_high3,
+        )
+
+        rng = np.random.RandomState(0)
+        q = rng.randn(1, 2, 8, 16).astype(np.float32)
+        k = rng.randn(1, 2, 8, 16).astype(np.float32)
+        g = rng.randn(1, 2, 8, 8).astype(np.float32)
+
+        def loss(fn, a, b, ct):
+            out, vjp = jax.vjp(fn, jnp.asarray(a), jnp.asarray(b))
+            return vjp(jnp.asarray(ct))
+
+        dq, dk = loss(bdot_qk_high3, q, k, g)
+        # fp64 reference
+        q64, k64, g64 = (x.astype(np.float64) for x in (q, k, g))
+        dq_ref = np.einsum("bhnm,bhmd->bhnd", g64, k64)
+        dk_ref = np.einsum("bhnm,bhnd->bhmd", g64, q64)
+        for got, ref in ((dq, dq_ref), (dk, dk_ref)):
+            rel = np.abs(np.asarray(got, np.float64) - ref).max() / (
+                np.abs(ref).max() + 1e-30
+            )
+            assert rel < 2 ** -14, rel
+
+        p = rng.rand(1, 2, 8, 8).astype(np.float32)
+        v = rng.randn(1, 2, 8, 16).astype(np.float32)
+        go = rng.randn(1, 2, 8, 16).astype(np.float32)
+        dp, dv = loss(bdot_pv_high3, p, v, go)
+        p64, v64, go64 = (x.astype(np.float64) for x in (p, v, go))
+        dp_ref = np.einsum("bhnd,bhmd->bhnm", go64, v64)
+        dv_ref = np.einsum("bhnm,bhnd->bhmd", p64, go64)
+        for got, ref in ((dp, dp_ref), (dv, dv_ref)):
+            rel = np.abs(np.asarray(got, np.float64) - ref).max() / (
+                np.abs(ref).max() + 1e-30
+            )
+            assert rel < 2 ** -14, rel
