@@ -106,6 +106,12 @@ def make_match_fn(model):
     separate programs (forward-only / matcher-only / grad-with-indices).
     Costs one extra forward — only used when MVT_DETECTION_MATCH=split or
     on the affected backend (detection/train.py decides).
+
+    Semantics note: the matching forward runs DETERMINISTIC (no
+    dropout), while the fused path matches on the training forward.
+    Identical for every reference detection config (all ship
+    dropout=0.0); with dropout>0 the split matcher would see slightly
+    different logits than the loss — prefer fused matching there.
     """
     from myrtle_vision_tpu.models.matcher import hungarian_match
 
