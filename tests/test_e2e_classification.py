@@ -191,3 +191,43 @@ class TestEndToEnd:
         )
         config2["train_config"]["epochs"] = 2
         train_mod.train(config2)
+
+
+class TestTensorParallelEndToEnd:
+    def test_train_cli_engages_fused_tp(
+        self, synthetic_resisc, tmp_path, capsys
+    ):
+        """Full trainer CLI with dist_config tensor_parallel=2 on the
+        8-device virtual mesh: the fused-TP gate (parallel/tp.py
+        fused_gate) must engage (heads/mlp divide, dropout 0, FP32,
+        short sequence), training must run, and checkpoints must load
+        back through the non-TP eval path (params stay replicated over
+        'model' — the checkpoint schema is unchanged)."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        root, classes = synthetic_resisc
+        # heads=2 / mlp divisible by 2 so the fused gate engages
+        config = make_config(root, tmp_path, embed_dim=64, heads=2)
+        config["dist_config"]["tensor_parallel"] = 2
+        config["train_config"]["epochs"] = 1
+        train_mod = _load_train_module()
+        train_mod.train(config)
+        out = capsys.readouterr().out
+        assert "fused-kernel head sharding (x2)" in out, out[-2000:]
+        assert "(data=4, model=2)" in out
+
+        out_dir = config["train_config"]["output_directory"]
+        ckpts = sorted(os.listdir(out_dir))
+        assert ckpts, "no checkpoints written"
+        config["train_config"]["checkpoint_path"] = os.path.join(
+            out_dir, ckpts[-1]
+        )
+        from conftest import load_script_module
+
+        test_mod = load_script_module(
+            os.path.join(REPO, "classification", "test.py"),
+            "cls_test_script_tp",
+        )
+        test_mod.test_deit(config)
