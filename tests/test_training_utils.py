@@ -249,3 +249,49 @@ class TestMetrics:
         # class2: 1/1
         np.testing.assert_allclose(per_class, [0.5, 0.5, 1.0])
         assert m.get_miou() == pytest.approx(2 / 3)
+
+
+class TestNoDonate:
+    def test_mvt_no_donate_step_runs_and_matches(self, monkeypatch):
+        """MVT_NO_DONATE=1 (the XLA:CPU donated-buffer escape hatch,
+        trainer.py) must produce the same update as the donating step."""
+        from myrtle_vision_tpu.models.vit import ViT
+        from myrtle_vision_tpu.training.classification import make_loss_fn
+        from myrtle_vision_tpu.training.trainer import (
+            init_train_state,
+            make_train_step,
+        )
+
+        model = ViT(
+            decoder="classification", image_size=80, patch_size=16,
+            num_classes=3, dim=64, depth=1, heads=1, mlp_dim=128,
+            dtype=jnp.float32,
+        )
+        tx = create_optimizer({
+            "optimizer": "adamw", "opt_eps": 1e-8, "opt_betas": None,
+            "clip_grad": None, "momentum": 0.9, "weight_decay": 0.05,
+            "lr": 1e-3,
+        })
+        batch = {
+            "image": jnp.ones((1, 2, 80, 80, 3), jnp.float32),
+            "label": jnp.zeros((1, 2), jnp.int32),
+        }
+        rng = jax.random.PRNGKey(0)
+
+        def run():
+            state = init_train_state(
+                model, tx, jax.random.PRNGKey(0),
+                jnp.zeros((1, 80, 80, 3)),
+            )
+            step = make_train_step(make_loss_fn(model), tx, 1)
+            for _ in range(2):
+                state, metrics = step(state, batch, 1e-3, rng)
+            return float(metrics["loss"]), jax.device_get(state.params)
+
+        loss_don, params_don = run()
+        monkeypatch.setenv("MVT_NO_DONATE", "1")
+        loss_nod, params_nod = run()
+        assert loss_don == loss_nod
+        jax.tree_util.tree_map(
+            np.testing.assert_array_equal, params_don, params_nod
+        )
