@@ -38,6 +38,7 @@ def criterion(
     cost_bbox: float = 5.0,
     cost_giou: float = 2.0,
     src_idx=None,
+    axis_name=None,
 ):
     """Compute the DETR loss dict.
 
@@ -48,6 +49,13 @@ def criterion(
       num_classes: real classes (no-object = index num_classes).
       weight_dict: loss-name -> weight for the "loss" total
         (reference detection/train.py:199-215 builds it from train_config).
+      axis_name: data-parallel mesh axis when running under shard_map —
+        num_boxes then normalizes by the reference's cross-rank AVERAGE
+        (clamp(all_reduce(count)/world_size, 1), detector.py:133-138),
+        which together with the trainer's gradient pmean reproduces the
+        single-process global_sum/global_boxes objective exactly.
+        Without it (plain jit over one device) the local count IS the
+        global count.
 
     Returns dict with loss_ce / class_error / cardinality_error /
     loss_bbox / loss_giou and weighted total "loss".
@@ -67,11 +75,16 @@ def criterion(
             cost_giou=cost_giou,
         )
 
-    # global box count (psum over the data axis is implicit under jit),
-    # clamped to 1 (reference detector.py:133-138)
-    num_boxes = jnp.maximum(
-        jnp.sum(valid.astype(jnp.float32)), 1.0
-    )
+    # cross-rank average box count, clamped to 1 (reference
+    # detector.py:133-138: clamp(all_reduce(count)/world_size, 1)).
+    # Under shard_map the psum must be EXPLICIT — jnp.sum alone would
+    # count only the local shard and over-weight low-count shards
+    num_boxes = jnp.sum(valid.astype(jnp.float32))
+    if axis_name is not None:
+        num_boxes = jax.lax.psum(num_boxes, axis_name) / jax.lax.axis_size(
+            axis_name
+        )
+    num_boxes = jnp.maximum(num_boxes, 1.0)
 
     # ---- loss_labels (detector.py:41-60) ----
     # scatter matched target classes into a (B, Q) map initialized to

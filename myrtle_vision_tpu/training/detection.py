@@ -18,7 +18,7 @@ from myrtle_vision_tpu.quantize import QFormat
 def make_loss_fn(model, num_classes, weight_dict, eos_coef):
     qat_int8 = model.q_format == QFormat.PyTorchINT8
 
-    def loss_fn(params, quant, batch, rng):
+    def loss_fn(params, quant, batch, rng, axis_name=None):
         variables = {"params": params}
         if quant:
             variables["quant"] = quant
@@ -43,6 +43,7 @@ def make_loss_fn(model, num_classes, weight_dict, eos_coef):
             weight_dict=weight_dict,
             eos_coef=eos_coef,
             src_idx=batch.get("src_idx"),
+            axis_name=axis_name,
         )
         loss = losses.pop("loss")
         aux = {"metrics": losses}

@@ -113,9 +113,15 @@ def make_train_step(
     expected M" on the second call) — the flag trades ~the state's
     footprint in HBM for a working program there.  TPU keeps donation.
     """
+    import inspect
     import os
 
     donate = () if os.environ.get("MVT_NO_DONATE") == "1" else (0,)
+    # loss functions that need in-step collectives (detection's
+    # cross-rank num_boxes average) declare an axis_name kwarg
+    loss_takes_axis = (
+        "axis_name" in inspect.signature(loss_fn).parameters
+    )
 
     def step(state: TrainState, batch, lr, rng, axis_name=None):
         opt_state = set_learning_rate(state.opt_state, lr)
@@ -129,7 +135,10 @@ def make_train_step(
                 mrng = jax.random.fold_in(
                     mrng, jax.lax.axis_index(axis_name)
                 )
-            (loss, aux), g = grad_fn(state.params, quant, mb, mrng)
+            kw = (
+                {"axis_name": axis_name} if loss_takes_axis else {}
+            )
+            (loss, aux), g = grad_fn(state.params, quant, mb, mrng, **kw)
             if "quant" in aux:
                 quant = aux["quant"]
             grads = jax.tree_util.tree_map(jnp.add, grads, g)

@@ -329,3 +329,101 @@ class TestDeviceMatcher:
         for b in range(6):
             single = np.asarray(lsap_device(jnp.array(C[b])))
             np.testing.assert_array_equal(batched[b], single)
+
+
+class TestShardedNumBoxes:
+    def test_shard_map_detection_step_matches_single_device(self):
+        """Multi-device DP detection must reproduce the single-device
+        objective: the reference normalizes by
+        clamp(all_reduce(count)/world_size, 1) and DDP averages grads
+        (detector.py:133-138), which equals global_sum/global_boxes.
+        Under shard_map jnp.sum(valid) is LOCAL, so criterion takes an
+        explicit axis_name psum — with UNEQUAL per-shard box counts a
+        local-count normalization would over-weight sparse shards and
+        this equality would fail."""
+        if len(jax.devices()) < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from myrtle_vision_tpu.models.vit import ViT
+        from myrtle_vision_tpu.parallel.mesh import make_mesh
+        from myrtle_vision_tpu.training.detection import make_loss_fn
+        from myrtle_vision_tpu.training.optim import create_optimizer
+        from myrtle_vision_tpu.training.trainer import (
+            init_train_state,
+            make_train_step,
+            state_shardings,
+        )
+
+        model = ViT(
+            decoder="detection", image_size=80, patch_size=16,
+            num_classes=3, dim=64, depth=1, heads=1, mlp_dim=128,
+            num_det_tokens=8, dtype=jnp.float32,
+        )
+        tx = create_optimizer({
+            "optimizer": "adamw", "opt_eps": 1e-8, "opt_betas": None,
+            "clip_grad": None, "momentum": 0.9, "weight_decay": 0.05,
+            "lr": 1e-3,
+        })
+        rng = np.random.RandomState(0)
+        B, M = 8, 8  # one image per device; box counts 0..7 (unequal)
+        images = rng.randn(1, B, 80, 80, 3).astype(np.float32)
+        labels = rng.randint(0, 3, (1, B, M)).astype(np.int32)
+        boxes = np.stack(
+            [np.full((B, M), 0.4), np.full((B, M), 0.4),
+             np.full((B, M), 0.2), np.full((B, M), 0.2)], -1
+        ).astype(np.float32)[None]
+        valid = np.zeros((1, B, M), bool)
+        for b in range(B):
+            valid[0, b, : b] = True  # image b has b valid boxes
+        batch = {
+            "image": jnp.asarray(images), "labels": jnp.asarray(labels),
+            "boxes": jnp.asarray(boxes), "valid": jnp.asarray(valid),
+        }
+        loss_fn = make_loss_fn(
+            model, 3,
+            {"loss_ce": 1.0, "loss_bbox": 5.0, "loss_giou": 2.0},
+            0.1,
+        )
+
+        def run(mesh):
+            state = init_train_state(
+                model, tx, jax.random.PRNGKey(0),
+                jnp.zeros((1, 80, 80, 3)), mesh=mesh,
+            )
+            kw = {}
+            if mesh is not None:
+                sharding = state_shardings(state, mesh)
+                spec = NamedSharding(mesh, P(None, "data"))
+                kw = dict(
+                    mesh=mesh, state_sharding=sharding,
+                    batch_sharding={k: spec for k in batch},
+                )
+            step = make_train_step(loss_fn, tx, 1, **kw)
+            b = batch
+            if mesh is not None:
+                b = jax.device_put(b, kw["batch_sharding"])
+            new_state, metrics = step(
+                state, b, 1e-3, jax.random.PRNGKey(1)
+            )
+            return {k: float(v) for k, v in metrics.items()}
+
+        m1 = run(None)
+        m8 = run(make_mesh(num_devices=8))
+        # the num_boxes-normalized components match the single-device
+        # objective exactly: pmean_r(local_sum_r / (global/n)) ==
+        # global_sum / global.  Without the explicit psum the sparse
+        # shards would be over-weighted and these diverge by >10%.
+        np.testing.assert_allclose(
+            m1["loss_bbox"], m8["loss_bbox"], rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            m1["loss_giou"], m8["loss_giou"], rtol=1e-5
+        )
+        # loss_ce is a WEIGHTED MEAN per rank in the reference; its DDP
+        # average over ranks legitimately differs from the single-process
+        # global weighted mean when shard weight-sums differ — we
+        # reproduce the reference's DDP semantics, so assert only that
+        # the deviation stays in that small expected band
+        rel_ce = abs(m1["loss_ce"] - m8["loss_ce"]) / m1["loss_ce"]
+        assert rel_ce < 0.25, rel_ce
