@@ -47,6 +47,12 @@ def export(config, output, wrap_train_ckpt=False):
     state, iteration = prepare_model_and_load_ckpt(
         train_config, state, restore_optimizer=False
     )
+    # stateless QAT formats: the reference's prepare_qat (run at model
+    # construction) wraps each Linear/LayerNorm in
+    # Sequential(stub, module), so its state-dict names carry an extra
+    # '.1' — emit that naming so the checkpoint loads into a reference
+    # model built with the same q_format (utils/export.py:_qat_name)
+    qat_wrapped = vit.q_format.name in ("FP16_16", "FP16_32", "TF32")
     if wrap_train_ckpt:
         # the reference's training-checkpoint envelope
         # (utils/models.py:113-141): load_checkpoint reads ckpt["model"]
@@ -59,12 +65,13 @@ def export(config, output, wrap_train_ckpt=False):
         sd = {
             k: torch.from_numpy(v)
             for k, v in export_torch_state_dict(
-                state.params, vit.decoder
+                state.params, vit.decoder, qat_wrapped=qat_wrapped
             ).items()
         }
         torch.save({"model": sd, "iteration": iteration}, output)
     else:
-        save_torch_checkpoint(state.params, vit.decoder, output)
+        save_torch_checkpoint(state.params, vit.decoder, output,
+                              qat_wrapped=qat_wrapped)
     print(f"exported {train_config['checkpoint_path']} -> {output} "
           f"(reference torch format, decoder={vit.decoder})")
 

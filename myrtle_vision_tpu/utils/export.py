@@ -100,8 +100,29 @@ def _rules(params, decoder: str):
     return rules
 
 
-def export_torch_state_dict(params, decoder: str) -> dict:
-    """Param tree -> {reference torch name: numpy array}."""
+def _qat_name(name: str) -> str:
+    """Reference module name -> its QAT-prepared name.
+
+    The reference's prepare_qat for the stateless float formats wraps
+    every Linear/LayerNorm in Sequential(activation_pre_process, module)
+    (reference quantize.py:253-327), so each module parameter gains one
+    ``.1`` path component: ``patch_to_embedding.weight`` ->
+    ``patch_to_embedding.1.weight``.  Token parameters (pos_embedding,
+    cls_token, ...) are unaffected."""
+    for suffix in (".weight", ".bias"):
+        if name.endswith(suffix):
+            return name[: -len(suffix)] + ".1" + suffix
+    return name
+
+
+def export_torch_state_dict(params, decoder: str,
+                            qat_wrapped: bool = False) -> dict:
+    """Param tree -> {reference torch name: numpy array}.
+
+    ``qat_wrapped``: emit the QAT-prepared module names (see _qat_name)
+    so the checkpoint loads into a reference model constructed with a
+    stateless q_format (its prepare_qat runs at construction,
+    vit.py:262-265)."""
     sd = {}
     for path, name, is_kernel in _rules(params, decoder):
         # copy=True: torch.from_numpy warns on the non-writable buffers
@@ -109,23 +130,27 @@ def export_torch_state_dict(params, decoder: str) -> dict:
         arr = np.array(_get(params, path), np.float32, copy=True)
         if is_kernel:
             arr = np.ascontiguousarray(arr.T)  # flax (in,out)->torch (out,in)
-        sd[name] = arr
+        sd[_qat_name(name) if qat_wrapped else name] = arr
     return sd
 
 
-def save_torch_checkpoint(params, decoder: str, filepath: str):
+def save_torch_checkpoint(params, decoder: str, filepath: str,
+                          qat_wrapped: bool = False):
     """torch.save the exported state dict (the reference/FPGA handoff
     format)."""
     import torch
 
-    sd = export_torch_state_dict(params, decoder)
+    sd = export_torch_state_dict(params, decoder, qat_wrapped=qat_wrapped)
     torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, filepath)
 
 
 def import_torch_state_dict(params, state_dict, decoder: str):
     """Reference-format torch state dict -> merged param tree (inverse of
     export; unknown keys are ignored — the reference model carries extra
-    quantizer buffers in some formats)."""
+    quantizer buffers in some formats).  Accepts both plain and
+    QAT-prepared module naming (see _qat_name) and raises if fewer than
+    half the expected parameters were found (an unrecognized layout
+    would otherwise silently produce a near-init model)."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
 
     def set_(tree, path, value):
@@ -141,11 +166,21 @@ def import_torch_state_dict(params, state_dict, decoder: str):
     import jax
 
     merged = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
-    for path, name, is_kernel in _rules(params, decoder):
+    rules = _rules(params, decoder)
+    found = 0
+    for path, name, is_kernel in rules:
+        if name not in sd:
+            name = _qat_name(name)  # QAT-prepared checkpoint naming
         if name not in sd:
             continue
+        found += 1
         arr = sd[name]
         if is_kernel:
             arr = arr.T
         set_(merged, path, arr)
+    if found * 2 < len(rules):
+        raise ValueError(
+            f"only {found}/{len(rules)} expected parameters found in the "
+            "torch state dict — unrecognized checkpoint layout"
+        )
     return merged

@@ -74,3 +74,64 @@ def test_torch_save_loadable(tmp_path):
     np.testing.assert_allclose(
         w.numpy(), np.asarray(params["decoder"]["linear"]["kernel"]).T,
     )
+
+
+class TestQatNaming:
+    def test_qat_wrapped_roundtrip(self):
+        """The reference's prepare_qat wraps each Linear/LayerNorm in
+        Sequential(stub, module), adding a '.1' path component to every
+        module parameter of a stateless-QAT checkpoint.  Export with
+        qat_wrapped must emit that naming, and import must accept BOTH
+        namings (round-3 bug: a QAT reference checkpoint imported
+        silently as a near-init model — chance-level accuracy)."""
+        import jax
+        import jax.numpy as jnp
+
+        from myrtle_vision_tpu.models.vit import ViT
+        from myrtle_vision_tpu.utils.export import (
+            export_torch_state_dict,
+            import_torch_state_dict,
+        )
+
+        model = ViT(
+            decoder="classification", image_size=80, patch_size=16,
+            num_classes=3, dim=64, depth=1, heads=1, mlp_dim=128,
+            dtype=jnp.float32,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 80, 80, 3))
+        )["params"]
+        sd = export_torch_state_dict(params, "classification",
+                                     qat_wrapped=True)
+        assert "patch_to_embedding.1.weight" in sd
+        assert "decoder.linear.1.weight" in sd
+        assert "pos_embedding" in sd  # token params unwrapped
+
+        zeros = jax.tree_util.tree_map(np.zeros_like, params)
+        merged = import_torch_state_dict(zeros, sd, "classification")
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            ),
+            merged, jax.tree_util.tree_map(np.asarray, params),
+        )
+
+    def test_import_rejects_unrecognized_layout(self):
+        import jax
+        import jax.numpy as jnp
+
+        from myrtle_vision_tpu.models.vit import ViT
+        from myrtle_vision_tpu.utils.export import import_torch_state_dict
+
+        model = ViT(
+            decoder="classification", image_size=80, patch_size=16,
+            num_classes=3, dim=64, depth=1, heads=1, mlp_dim=128,
+            dtype=jnp.float32,
+        )
+        params = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 80, 80, 3))
+        )["params"]
+        with pytest.raises(ValueError, match="unrecognized"):
+            import_torch_state_dict(
+                params, {"bogus.weight": np.zeros((1,))}, "classification"
+            )
