@@ -209,20 +209,26 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
             rs_ref[j] = rs
 
 
-def _fwd_group(b: int) -> int:
+def _fwd_group(b: int, c: int) -> int:
     """Images per forward grid step (MVT_ATTN_FWD_GROUP overrides).
 
     Default 8: measured on v5e at ViT-S/16 batch 512 — infer img/s
     9439 (g=1) / 9583 (g=4) / 9808 (g=8) / 9317 (g=16); train follows
     the same shape.  The forward holds no accumulators so larger groups
-    are cheap until block size crowds the pipeline (g=16)."""
+    are cheap until block size crowds the pipeline (g=16).
+
+    dim<256 (ViT-Tiny) prefers 16: half the per-image VMEM stack makes
+    the larger group legal and the small matmul tiles need more rows in
+    flight — v5e Tiny-shape sweep (B=512): g=16 1.05-1.09 ms vs g=8
+    1.15 ms per block fwd (the g=32 sweep point VMEM-caps to 16)."""
     import os
 
     env = os.environ.get("MVT_ATTN_FWD_GROUP")
     if env:
         g = int(env)
         return g if b % g == 0 else 1
-    for g in (8, 4, 2):
+    prefs = (16, 8, 4, 2) if c < 256 else (8, 4, 2)
+    for g in prefs:
         if b % g == 0:
             return g
     return 1
@@ -261,7 +267,7 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
     # derive attention widths from the weights, not from x
     cl = wp.shape[0]
     d = cl // heads
-    g = _cap_group(_fwd_group(b), b, n, heads, d)
+    g = _cap_group(_fwd_group(b, c), b, n, heads, d)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -479,19 +485,23 @@ def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
     return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs)
 
 
-def _bwd_group(b: int) -> int:
+def _bwd_group(b: int, c: int) -> int:
     """Images per backward grid step (MVT_ATTN_BWD_GROUP overrides).
 
     Default 4: measured on v5e at ViT-S/16 batch 512 — the accumulator
     RMW amortization wins until the unrolled loop's ~2MB/image stack
-    crowds out block double-buffering."""
+    crowds out block double-buffering.
+
+    dim<256 (ViT-Tiny) prefers 8 — v5e Tiny-shape sweep (B=512):
+    g=8 3.06 ms vs g=4 3.08 ms vs g=16 3.32 ms per block fwd+bwd."""
     import os
 
     env = os.environ.get("MVT_ATTN_BWD_GROUP")
     if env:
         g = int(env)
         return g if b % g == 0 else 1
-    for g in (4, 2):
+    prefs = (8, 4, 2) if c < 256 else (4, 2)
+    for g in prefs:
         if b % g == 0:
             return g
     return 1
@@ -502,7 +512,7 @@ def _bwd_rule(heads, scale, qspec, res_scale, res, do):
     b, n, c = x.shape
     cl = wp.shape[0]  # local attention width (== c unless head-sharded)
     d = cl // heads
-    g = _cap_group(_bwd_group(b), b, n, heads, d)
+    g = _cap_group(_bwd_group(b, c), b, n, heads, d)
 
     row = pl.BlockSpec((g, n, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)

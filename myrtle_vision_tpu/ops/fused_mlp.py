@@ -283,6 +283,10 @@ def _group(b: int, n: int, d: int, hidden: int, env_key: str,
     if env:
         g = int(env)
         return g if b % g == 0 else 1
+    if d < 256:
+        # ViT-Tiny sweep (v5e, B=512): fwd g=16 1.04 ms vs g=8 1.08;
+        # bwd g=8 1.90 ms vs g=4 1.94 — small tiles want 2x the rows.
+        default_rows *= 2
     copies = 3 if bwd else 2
     per_image = copies * n * hidden * 4 + 3 * n * d * 4
     fixed = 2 * d * hidden * (2 + (4 if bwd else 0)) + (
