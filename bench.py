@@ -173,11 +173,17 @@ def bench():
     labels = jnp.zeros((BATCH,), jnp.int32)
 
     # ---- inference: INNER_ITERS forwards inside one program ----
+    # stateful formats (PyTorchINT8 observers) carry a "quant"
+    # collection the forward reads even when not calibrating
+    extra = {"quant": state.quant} if state.quant else {}
+
     @jax.jit
     def infer_loop(params, images):
         def body(carry, _):
             out = model.apply(
-                {"params": params}, images + carry * 0, deterministic=True
+                {"params": params, **extra},
+                images + carry * 0,
+                deterministic=True,
             )
             return jnp.mean(out), None
 

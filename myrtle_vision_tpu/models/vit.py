@@ -676,8 +676,32 @@ class Transformer(nn.Module):
         calibrating: bool = False,
         capture_attention: bool = False,
     ):
+        # Blocks that run the UNFUSED composition (stateful observer
+        # formats like PyTorchINT8, or MVT_NO_FUSE diagnostics) save
+        # fp32 activations at every quant site plus the custom-VJP
+        # 3-pass dot residuals — including each layer's (b, h, n, n)
+        # fp32 attention probs.  At ViT-S QAT batch 512 that is >30GB,
+        # double the chip's HBM.  Rematerialize those blocks: save only
+        # the 12 block inputs, recompute activations in the backward
+        # (grads bit-identical — same ops, same inputs).  The fused
+        # Pallas path keeps its own compact residuals and stays
+        # un-remat'd.
+        import os as _os
+        _FUSED_FMTS = (
+            QFormat.FP32, QFormat.FP16_16, QFormat.FP16_32, QFormat.TF32,
+        )
+        remat = (
+            (
+                self.q_format not in _FUSED_FMTS
+                or _os.environ.get("MVT_NO_FUSE") == "1"
+            )
+            and not capture_attention
+        )
+        block_cls = (
+            nn.remat(Block, static_argnums=(2, 3, 4)) if remat else Block
+        )
         for i in range(self.depth):
-            x = Block(
+            x = block_cls(
                 self.dim,
                 self.heads,
                 self.dim_head,

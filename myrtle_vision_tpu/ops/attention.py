@@ -66,30 +66,36 @@ def multi_head_attention(
     # pass); the same decomposition runs inside the fused quant kernels
     # so the two paths stay bit-identical
     fp32_core = q.dtype == jnp.float32
+
+    def _core(q, k, v):
+        if fp32_core:
+            # custom-VJP 3-pass dots: plain autodiff through the hi/lo
+            # split would truncate the cotangent to one bf16 pass
+            scores = bdot_qk_high3(q, k)
+        else:
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32,
+            )
+        scores = scores * jnp.float32(scale)
+        if seq_valid is not None and seq_valid < q.shape[2]:
+            col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+            scores = jnp.where(col < seq_valid, scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        if fp32_core:
+            out = bdot_pv_high3(probs, v).astype(v.dtype)
+        else:
+            out = jnp.einsum(
+                "bhqk,bhkd->bhqd",
+                probs.astype(v.dtype),
+                v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
+        return out, probs
+
     if fp32_core:
-        # custom-VJP 3-pass dots: plain autodiff through the hi/lo
-        # split would truncate the cotangent to one bf16 pass
-        scores = bdot_qk_high3(
-            q.astype(jnp.float32), k.astype(jnp.float32)
-        )
-    else:
-        scores = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        )
-    scores = scores * jnp.float32(scale)
-    if seq_valid is not None and seq_valid < q.shape[2]:
-        col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
-        scores = jnp.where(col < seq_valid, scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1)
-    if fp32_core:
-        out = bdot_pv_high3(probs, v.astype(jnp.float32)).astype(v.dtype)
-    else:
-        out = jnp.einsum(
-            "bhqk,bhkd->bhqd",
-            probs.astype(v.dtype),
-            v,
-            preferred_element_type=jnp.float32,
-        ).astype(v.dtype)
+        q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
+    out, probs = _core(q, k, v)
     if return_probs:
         return out, probs
     return out
