@@ -683,7 +683,9 @@ class Transformer(nn.Module):
         # fp32 attention probs.  At ViT-S QAT batch 512 that is >30GB,
         # double the chip's HBM.  Rematerialize those blocks: save only
         # the 12 block inputs, recompute activations in the backward
-        # (grads bit-identical — same ops, same inputs).  The fused
+        # (same ops on same inputs: eager grads bit-identical; jitted
+        # programs fuse differently and agree to fp32 roundoff —
+        # tests/test_vit.py TestUnfusedBlockRemat).  The fused
         # Pallas path keeps its own compact residuals and stays
         # un-remat'd.
         import os as _os

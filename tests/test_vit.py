@@ -219,3 +219,90 @@ class TestGradients:
             grads = jax.grad(loss_fn)(variables["params"])
             for g in jax.tree_util.tree_leaves(grads):
                 assert np.isfinite(np.asarray(g)).all()
+
+
+class TestUnfusedBlockRemat:
+    """The unfused quant composition (stateful PyTorchINT8, or
+    MVT_NO_FUSE) wraps each transformer Block in nn.remat so the
+    custom-VJP 3-pass dot residuals — every layer's (b, h, n, n) fp32
+    attention probs among them — are recomputed in the backward instead
+    of pinned in HBM (31.8GB at ViT-S QAT batch 512 on a 16GB chip).
+    Remat reruns the same ops on the same inputs: EAGER gradients are
+    bit-identical to the un-remat'd composition.  Jitted programs fuse
+    differently with remat boundaries, so those agree to fp32 roundoff
+    only (same caveat as ROUND3_NOTES "bit-identity is a property of
+    compiled programs")."""
+
+    def test_int8_qat_grads_match_with_and_without_remat(self):
+        import flax.linen as nn
+
+        from myrtle_vision_tpu.models.vit import Block
+
+        B = Block(64, 2, 32, 128, 0.0, QFormat.PyTorchINT8)
+        RB = nn.remat(Block, static_argnums=(2, 3, 4))(
+            64, 2, 32, 128, 0.0, QFormat.PyTorchINT8
+        )
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (2, 5, 64), jnp.float32
+        )
+        v = B.init(jax.random.PRNGKey(1), x, True, False, False)
+
+        def loss(params, mod):
+            out, _ = mod.apply(
+                {"params": params, "quant": v["quant"]},
+                x, True, True, False, mutable=["quant"],
+            )
+            return jnp.sum(out ** 2)
+
+        # eager: identical ops on identical inputs -> identical bits
+        g_plain = jax.grad(loss)(v["params"], B)
+        g_remat = jax.grad(loss)(v["params"], RB)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_plain),
+            jax.tree_util.tree_leaves(g_remat),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # jitted: different fusion boundaries -> fp32 roundoff only
+        gj_plain = jax.jit(jax.grad(loss), static_argnums=1)(
+            v["params"], B
+        )
+        gj_remat = jax.jit(jax.grad(loss), static_argnums=1)(
+            v["params"], RB
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(gj_plain),
+            jax.tree_util.tree_leaves(gj_remat),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-6
+            )
+
+    def test_transformer_selects_remat_for_stateful_formats(self):
+        """The INT8 QAT train path must stay remat'd (HBM ceiling);
+        FP32 must stay un-remat'd (the fused kernels own its
+        residuals). Asserted on the lowered jaxpr."""
+        from myrtle_vision_tpu.models.vit import Transformer
+
+        x = jnp.zeros((1, 5, 64), jnp.float32)
+
+        def jaxpr_for(fmt):
+            t = Transformer(
+                64, 1, 2, 32, 128, 0.0, fmt, dtype=jnp.float32
+            )
+            v = t.init(jax.random.PRNGKey(0), x, True, False, False)
+
+            def f(params):
+                out, _ = t.apply(
+                    {"params": params, **{
+                        k: v[k] for k in v if k != "params"
+                    }},
+                    x, True, True, False,
+                    mutable=list(k for k in v if k != "params"),
+                )
+                return jnp.sum(out ** 2)
+
+            return str(jax.make_jaxpr(jax.grad(f))(v["params"]))
+
+        assert "remat" in jaxpr_for(QFormat.PyTorchINT8)
+        assert "remat" not in jaxpr_for(QFormat.FP32)
