@@ -493,14 +493,22 @@ def _bwd_group(b: int, c: int) -> int:
     crowds out block double-buffering.
 
     dim<256 (ViT-Tiny) prefers 8 — v5e Tiny-shape sweep (B=512):
-    g=8 3.06 ms vs g=4 3.08 ms vs g=16 3.32 ms per block fwd+bwd."""
+    g=8 3.06 ms vs g=4 3.08 ms vs g=16 3.32 ms per block fwd+bwd.
+    dim>512 (ViT-Base) prefers 2 — v5e Base-shape sweep (B=256):
+    g=2 9.44 ms vs g=4 9.93 ms fwd+bwd (the 2.4x larger per-image
+    stack crowds double-buffering at g=4, per the rule above)."""
     import os
 
     env = os.environ.get("MVT_ATTN_BWD_GROUP")
     if env:
         g = int(env)
         return g if b % g == 0 else 1
-    prefs = (8, 4, 2) if c < 256 else (4, 2)
+    if c < 256:
+        prefs = (8, 4, 2)
+    elif c <= 512:
+        prefs = (4, 2)
+    else:
+        prefs = (2,)
     for g in prefs:
         if b % g == 0:
             return g
