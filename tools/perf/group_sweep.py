@@ -10,7 +10,12 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +35,10 @@ def main():
     ap.add_argument("--seq", type=int, default=197)
     ap.add_argument("--mlp_ratio", type=int, default=4)
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--only", default="",
+                    help="substring filter on point names")
+    ap.add_argument("--groups", default="",
+                    help="comma list overriding the swept group sizes")
     args = ap.parse_args()
 
     from myrtle_vision_tpu.ops.fused_attention_block import (
@@ -75,17 +84,29 @@ def main():
             def step(x):
                 return fn(x) * 0.5
 
-        @jax.jit
-        def loop(x):
-            def body(carry, _):
-                return step(carry), None
-            out, _ = jax.lax.scan(body, x, None, length=iters)
-            return out
+        def make_loop(length):
+            @jax.jit
+            def loop(x):
+                def body(carry, _):
+                    return step(carry), None
+                out, _ = jax.lax.scan(body, x, None, length=length)
+                return jnp.sum(out[0, 0, :8].astype(jnp.float32))
+            return loop
 
-        loop(x).block_until_ready()
+        # block_until_ready() does NOT synchronize on this container's
+        # axon client (round-4 finding) — only a host fetch does.  Time
+        # two scan lengths and take the slope, cancelling all fixed
+        # overhead (dispatch RTT, fetch, cache lookups).
+        lo, hi = iters, iters * 3
+        loop_lo, loop_hi = make_loop(lo), make_loop(hi)
+        float(loop_lo(x))  # compile + warm
+        float(loop_hi(x))
         t0 = time.perf_counter()
-        loop(x).block_until_ready()
-        return (time.perf_counter() - t0) / iters
+        float(loop_lo(x))
+        t1 = time.perf_counter()
+        float(loop_hi(x))
+        t2 = time.perf_counter()
+        return ((t2 - t1) - (t1 - t0)) / (hi - lo)
 
     points = [
         ("attn fwd", "MVT_ATTN_FWD_GROUP", attn, False, [4, 8, 16, 32]),
@@ -96,6 +117,10 @@ def main():
     print(f"shapes: B={B} N={N} C={C} H={H} D={D} hidden={hidden}",
           flush=True)
     for name, env, fn, grad, gs in points:
+        if args.only and args.only not in name:
+            continue
+        if args.groups:
+            gs = [int(v) for v in args.groups.split(",")]
         for g in gs:
             os.environ[env] = str(g)
             try:
