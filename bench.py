@@ -51,9 +51,11 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-# 1024 measures best on v5e with the row-major kernels (train img/s:
-# 3489 @ 512, 3518 @ 1024); MVT_BENCH_BATCH overrides
-BATCH = int(os.environ.get("MVT_BENCH_BATCH", 1024))
+# 512 measures best on v5e since the qkv-saving attention backward
+# (ops/acts_policy.py enables it at b<=512 ViT-S): train img/s
+# 3644 @ 512 vs 3519 @ 1024 (r4; with remat-only r2 kernels it was
+# 3489 @ 512 / 3518 @ 1024).  MVT_BENCH_BATCH overrides
+BATCH = int(os.environ.get("MVT_BENCH_BATCH", 512))
 # The tunneled TPU server kills any single program execution running
 # longer than ~30-60s ("TPU worker process crashed or restarted" —
 # bisected: FP16_32 train scan x50 @1024 (~64s) faults, x20 @1024 (~26s)

@@ -32,8 +32,13 @@ Why this layout wins on the MXU:
   pairs into block-diagonal 128-wide operands has identical MAC-slot
   cost and only saves pipeline fills; measured net-neutral.
 
-Backward recomputes the forward per program (rematerialization) and
-accumulates weight/bias/norm grads in fp32 VMEM outputs across the
+Backward: when HBM affords it (ops/acts_policy.py) the forward SAVES
+the fused qkv rows and the backward skips the QKV-projection recompute
+— bit-identical to the rematerialized value (same dot, same cast), and
+at ViT-S/16 that dot was ~60% of the attention backward's extra MACs
+(the train-vs-infer MFU gap, BENCH_r03).  Otherwise the backward
+recomputes the projection per program (rematerialization).  Either way
+it accumulates weight/bias/norm grads in fp32 VMEM outputs across the
 sequential grid.  Weight grads are produced directly in the parameter
 layouts ((C,3C), (C,C)).  Used by the FP32 fast path of the transformer
 Block (models/vit.py).
@@ -64,6 +69,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from myrtle_vision_tpu.ops.acts_policy import save_acts
 from myrtle_vision_tpu.ops.fake_quant import (
     float_quantize,
     snap as _snap,
@@ -177,12 +183,14 @@ def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
                 o_ref, *rest, scale, heads, group, save_stats, qspec,
-                res_scale=1.0):
+                res_scale=1.0, save_qkv=False):
     """Forward; with ``save_stats`` also writes the softmax statistics
     and the pre-projection context as residuals for the backward
     (rest = (ctx_ref, m_ref, rs_ref)), skipping their recomputation
     there (the backward then needs no max/sum reductions and no
-    u-recompute dots)."""
+    u-recompute dots).  With ``save_qkv`` additionally writes the fused
+    qkv rows (rest += (qkv_ref,)) so the backward skips the
+    QKV-projection recompute too (module docstring)."""
     scale_ln = s_ref[...].astype(jnp.float32)
     bias_ln = b_ref[...].astype(jnp.float32)
     for j in range(group):
@@ -203,10 +211,12 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
         out = _snap_all(out, qspec)  # attn_res (functional)
         o_ref[j] = out.astype(o_ref.dtype)
         if save_stats:
-            ctx_ref, m_ref, rs_ref = rest
+            ctx_ref, m_ref, rs_ref = rest[:3]
             ctx_ref[j] = o
             m_ref[j] = m
             rs_ref[j] = rs
+            if save_qkv:
+                rest[3][j] = qkv.astype(rest[3].dtype)
 
 
 def _fwd_group(b: int, c: int) -> int:
@@ -260,7 +270,8 @@ def _cap_group(g: int, b: int, n: int, heads: int, d: int) -> int:
 
 
 def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-                  save_stats=False, qspec=None, res_scale=1.0):
+                  save_stats=False, qspec=None, res_scale=1.0,
+                  save_qkv=False):
     b, n, c = x.shape
     # under head-sharded tensor parallelism wqkv/wp are the LOCAL head
     # slices: wqkv (c, 3*cl), wp (cl, c) with cl = local_heads * d —
@@ -279,17 +290,27 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
                                memory_space=pltpu.VMEM)
         hn = pl.BlockSpec((g, heads, n), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-        out_specs = (row, ctx_row, hn, hn)
-        out_shape = (
+        out_specs = [row, ctx_row, hn, hn]
+        out_shape = [
             out_shape,
             jax.ShapeDtypeStruct((b, n, cl), x.dtype),         # context o
             jax.ShapeDtypeStruct((b, heads, n), jnp.float32),  # rowmax
             jax.ShapeDtypeStruct((b, heads, n), jnp.float32),  # 1/rowsum
-        )
+        ]
+        if save_qkv:
+            out_specs.append(
+                pl.BlockSpec((g, n, 3 * cl), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            out_shape.append(
+                jax.ShapeDtypeStruct((b, n, 3 * cl), x.dtype)
+            )
+        out_specs, out_shape = tuple(out_specs), tuple(out_shape)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, heads=heads, group=g,
             save_stats=save_stats, qspec=qspec, res_scale=res_scale,
+            save_qkv=save_qkv,
         ),
         grid=(b // g,),
         in_specs=[
@@ -317,16 +338,18 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
 
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
-                do_ref, ctx_ref, m_ref, rs_ref,
-                dx_ref, ds_ref, db_ref, dw_ref, dbq_ref,
-                dwp_ref, dbp_ref, *, scale, heads, group, qspec,
-                res_scale=1.0):
+                do_ref, ctx_ref, m_ref, rs_ref, *rest, scale, heads,
+                group, qspec, res_scale=1.0, save_qkv=False):
     """Backward for a GROUP of images per grid step.
 
     Weight/bias/norm grads for the whole group are summed into local
     values first and hit the fp32 VMEM accumulator outputs ONCE per grid
     step — grouping divides the ~2.4MB accumulator read-modify-write
     traffic (and the grid/pipeline overhead) by ``group``."""
+    if save_qkv:
+        qkv_ref = rest[0]
+        rest = rest[1:]
+    (dx_ref, ds_ref, db_ref, dw_ref, dbq_ref, dwp_ref, dbp_ref) = rest
     i = pl.program_id(0)
     scale_ln = s_ref[...].astype(jnp.float32)
     bias_ln = b_ref[...].astype(jnp.float32)
@@ -337,6 +360,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
             x_ref[j], do_ref[j].astype(jnp.float32), scale_ln, bias_ln,
             w_ref, bq_ref, wp_ref, dx_ref, j,
             ctx_ref[j], m_ref[j], rs_ref[j],
+            qkv_ref[j] if save_qkv else None,
             scale=scale, heads=heads, qspec=qspec,
             res_scale=res_scale,
         )
@@ -363,21 +387,34 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
 
 
 def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
-                   dx_ref, j, o, m_all, rs_all, *, scale, heads,
-                   qspec=None, res_scale=1.0):
+                   dx_ref, j, o, m_all, rs_all, qkv_saved=None, *,
+                   scale, heads, qspec=None, res_scale=1.0):
     """Backward for one image.  ``o`` (N, C), ``m_all``/``rs_all``
     (H, N) are forward residuals: the pre-projection context and the
     softmax rowmax / reciprocal-rowsum, so the backward recomputes only
     the QKV projection and the score dots (no reductions, no PV dots).
+    With ``qkv_saved`` (N, 3C) — the forward's own qkv rows, saved when
+    HBM affords it (ops/acts_policy.py) — even the projection recompute
+    is skipped; only the LayerNorm (VPU) and score dots remain.
 
     Quant path: the sites are straight-through, so only the RECOMPUTED
     forward intermediates change (same snaps as the forward); dots keep
     the forward's precisions (3-pass dot_high3, like the forward)."""
     dtype = x.dtype
-    # ---- recompute forward (projection + scores only) ----
-    qkv, xn, xhat, rstd = _qkv_rows(
-        x, scale_ln, bias_ln, w_ref, bq_ref, qspec
-    )
+    if qkv_saved is not None:
+        # LN-only recompute (the projection rows are the saved forward
+        # values — bit-identical to what the remat would produce)
+        ln_out, xhat, rstd = _ln_f32(
+            _snap(x, qspec), scale_ln, bias_ln
+        )
+        ln_out = _snap(_snap_all(ln_out, qspec), qspec)
+        xn = ln_out.astype(dtype)
+        qkv = qkv_saved
+    else:
+        # ---- recompute forward (projection + scores only) ----
+        qkv, xn, xhat, rstd = _qkv_rows(
+            x, scale_ln, bias_ln, w_ref, bq_ref, qspec
+        )
     # attention widths come from the (possibly head-sharded) qkv
     # projection, not from x (tensor parallelism: c_local < C)
     c = qkv.shape[-1] // 3
@@ -478,11 +515,18 @@ def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
 
 def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
               qspec, res_scale):
-    out, ctx, m, rs = _attn_forward(
+    b, n, _ = x.shape
+    cl = wp.shape[0]
+    sv = save_acts(b * n * 3 * cl * jnp.dtype(x.dtype).itemsize)
+    outs = _attn_forward(
         x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-        save_stats=True, qspec=qspec, res_scale=res_scale,
+        save_stats=True, qspec=qspec, res_scale=res_scale, save_qkv=sv,
     )
-    return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs)
+    if sv:
+        out, ctx, m, rs, qkv = outs
+    else:
+        (out, ctx, m, rs), qkv = outs, None
+    return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs, qkv)
 
 
 def _bwd_group(b: int, c: int) -> int:
@@ -516,7 +560,7 @@ def _bwd_group(b: int, c: int) -> int:
 
 
 def _bwd_rule(heads, scale, qspec, res_scale, res, do):
-    x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs = res
+    x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs, qkv = res
     b, n, c = x.shape
     cl = wp.shape[0]  # local attention width (== c unless head-sharded)
     d = cl // heads
@@ -532,18 +576,26 @@ def _bwd_rule(heads, scale, qspec, res_scale, res, do):
     rep = lambda shape: pl.BlockSpec(  # noqa: E731
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
+    in_specs = [
+        row, vec_c, vec_c,
+        rep((c, 3 * cl)), rep((3 * cl,)), rep((cl, c)),
+        row, ctx_row, hn, hn,
+    ]
+    extra_in = ()
+    if qkv is not None:
+        in_specs.append(
+            pl.BlockSpec((g, n, 3 * cl), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        extra_in = (qkv,)
     f32 = jnp.float32
     dx, dscale, dbias, dw, dbq, dwp, dbp = pl.pallas_call(
         functools.partial(
             _bwd_kernel, scale=scale, heads=heads, group=g, qspec=qspec,
-            res_scale=res_scale,
+            res_scale=res_scale, save_qkv=qkv is not None,
         ),
         grid=(b // g,),
-        in_specs=[
-            row, vec_c, vec_c,
-            rep((c, 3 * cl)), rep((3 * cl,)), rep((cl, c)),
-            row, ctx_row, hn, hn,
-        ],
+        in_specs=in_specs,
         out_specs=(
             row, vec_c, vec_c,
             rep((c, 3 * cl)), rep((3 * cl,)), rep((cl, c)),
@@ -567,7 +619,7 @@ def _bwd_rule(heads, scale, qspec, res_scale, res, do):
         interpret=_interpret(),
     )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype),
       wqkv.astype(x.dtype), bqkv.astype(f32), wp.astype(x.dtype),
-      do.astype(x.dtype), ctx, m, rs)
+      do.astype(x.dtype), ctx, m, rs, *extra_in)
 
     return (
         dx,

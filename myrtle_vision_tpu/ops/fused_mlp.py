@@ -20,6 +20,17 @@ accumulator outputs once per grid step (sequential TPU grid makes
 read-modify-write accumulation safe); dx combines the residual, LayerNorm
 and matmul paths in-kernel.
 
+Remat is a MEASURED choice here, unlike the attention block (which saves
+its qkv rows — ops/acts_policy.py): saving the (N, hidden) pre-GELU rows
+and skipping the fc1 recompute was tried on v5e at ViT-S/16 b512 and
+LOST — 4.74 -> 6.14 ms per block fwd+bwd at g=4 (6.66 at g=8).  A probe
+that streamed the saved block into the kernel WITHOUT using it measured
+6.67 ms, i.e. the entire regression is the HBM->VMEM streaming of the
+4x-wider residual (~160 GB/s effective on this part, far below the fc1
+recompute's effective compute rate), not lost MXU/VPU overlap (moving
+the GELU into the pipelined stage A changed nothing).  At hidden=4C the
+recompute wins; revisit only if the per-block stream rate improves.
+
 Used by the FP32 (non-quantized) fast path of FeedForward
 (models/vit.py).  Stateless quantization formats (FP16_16 / FP16_32 /
 TF32) run the same kernels with ``qspec=(exp_bits, man_bits,
