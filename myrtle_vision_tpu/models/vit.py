@@ -418,15 +418,23 @@ class Attention(nn.Module):
 
 class ResidualAdd(nn.Module):
     """Residual add through a quantizable functional
-    (reference vit.py:17-27, FloatFunctional)."""
+    (reference vit.py:17-27, FloatFunctional).  Setup-style so the
+    converted-INT8 fused path can read the observer grid
+    (``out_qparams``) while keeping the ``res_add`` variable path."""
 
     q_format: QFormat
 
-    @nn.compact
+    def setup(self):
+        self.res_add = ActQuant(self.q_format, "functional")
+
+    def out_qparams(self):
+        """The functional observer's (scale, zero_point, has_stats) —
+        the affine uint8 grid the residual sum sits on in converted
+        PyTorchINT8 mode (consumed by the fused INT8 block kernels)."""
+        return self.res_add.int8_qparams()
+
     def __call__(self, fn_out, x, calibrating: bool = False):
-        return ActQuant(self.q_format, "functional", name="res_add")(
-            fn_out + x, calibrating
-        )
+        return self.res_add(fn_out + x, calibrating)
 
 
 class Block(nn.Module):
@@ -515,6 +523,69 @@ class Block(nn.Module):
             and fuses_at(x.shape[1], self.heads, self.dim_head)
         )
         qspec = _QSPECS.get(self.q_format)
+        # converted-INT8 deployment inference: each block half is one
+        # Pallas program with int8 MXU projections and in-VMEM requants
+        # (ops/fused_int8_block.py); calibration, attention capture,
+        # dropout, TP and long sequences keep the discrete-site
+        # composition (QDense._int8_forward per projection)
+        int8_fuse = (
+            self.converted
+            and self.q_format == QFormat.PyTorchINT8
+            and not capture_attention
+            and not calibrating
+            and (self.dropout == 0.0 or deterministic)
+            and _os.environ.get("MVT_NO_FUSE") != "1"
+            and _os.environ.get("MVT_INT8_FUSE") != "0"
+            and self.tp_axis is None
+            and fuses_at(x.shape[1], self.heads, self.dim_head)
+        )
+        if int8_fuse:
+            from myrtle_vision_tpu.ops.fused_int8_block import (
+                int8_attention_block,
+                int8_mlp_block,
+            )
+
+            with jax.named_scope("transformer:attention"):
+                x = int8_attention_block(
+                    x,
+                    self.attn_norm.scale_p,
+                    self.attn_norm.bias_p,
+                    self.attn.to_qkv.kernel,
+                    self.attn.to_qkv.kernel_scale,
+                    self.attn.to_qkv.bias,
+                    self.attn.to_out.kernel,
+                    self.attn.to_out.kernel_scale,
+                    self.attn.to_out.bias,
+                    sites=[
+                        self.attn_norm.out_qparams(),
+                        self.attn.to_qkv.act_out.int8_qparams(),
+                        self.attn.quant_out.int8_qparams(),
+                        self.attn.to_out.act_out.int8_qparams(),
+                        self.attn_res.out_qparams(),
+                    ],
+                    heads=self.heads,
+                    scale=self.dim_head ** -0.5,
+                )
+            with jax.named_scope("transformer:feedforward"):
+                x = int8_mlp_block(
+                    x,
+                    self.ffn_norm.scale_p,
+                    self.ffn_norm.bias_p,
+                    self.ffn.fc1.kernel,
+                    self.ffn.fc1.kernel_scale,
+                    self.ffn.fc1.bias,
+                    self.ffn.fc2.kernel,
+                    self.ffn.fc2.kernel_scale,
+                    self.ffn.fc2.bias,
+                    sites=[
+                        self.ffn_norm.out_qparams(),
+                        self.ffn.fc1.act_out.int8_qparams(),
+                        self.ffn.gelu.out_qparams(),
+                        self.ffn.fc2.act_out.int8_qparams(),
+                        self.ffn_res.out_qparams(),
+                    ],
+                )
+            return x
 
         def _qw(w, kind):
             # converted stateless checkpoints store weights as REAL

@@ -144,3 +144,48 @@ def test_int8_converted_runs_integer_dots():
     n_int_dots = text.count("preferred_element_type=int32")
     # patch_to_embedding + 2 blocks x 4 linears + head = 10 integer dots
     assert n_int_dots >= 10, f"expected >=10 integer dots, {n_int_dots}"
+
+
+def test_int8_fused_blocks_match_unfused():
+    """The fused converted-INT8 block kernels (ops/fused_int8_block.py)
+    vs the discrete-site composition (QDense._int8_forward + ActQuant):
+    same observers, same integer dots, same requants.  The only intended
+    deviation is the kernels' polynomial-erf GELU (1.5e-7 vs exact erf),
+    which can flip isolated gelu_out requant rints by one uint8 step —
+    bounded here."""
+    model, variables, img = _setup(QFormat.PyTorchINT8)
+    _, upd = model.apply(
+        variables, img, calibrating=True, mutable=["quant"]
+    )
+    converted = convert_params(variables["params"], QFormat.PyTorchINT8)
+    model_c = ViT(q_format=QFormat.PyTorchINT8, converted=True, **KW)
+    vs = {"params": converted, "quant": upd["quant"]}
+
+    prev = os.environ.get("MVT_INT8_FUSE")
+    try:
+        os.environ["MVT_INT8_FUSE"] = "0"
+        out_unfused = model_c.apply(vs, img)
+        os.environ.pop("MVT_INT8_FUSE")
+        out_fused = model_c.apply(vs, img)
+    finally:
+        if prev is None:
+            os.environ.pop("MVT_INT8_FUSE", None)
+        else:
+            os.environ["MVT_INT8_FUSE"] = prev
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_unfused),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_int8_fused_no_stats_passthrough():
+    """A converted model whose observers never calibrated must not crash
+    or NaN through the fused kernels (requants pass through; the integer
+    dots use the guard scale)."""
+    model, variables, img = _setup(QFormat.PyTorchINT8)
+    converted = convert_params(variables["params"], QFormat.PyTorchINT8)
+    model_c = ViT(q_format=QFormat.PyTorchINT8, converted=True, **KW)
+    out = model_c.apply(
+        {"params": converted, "quant": variables["quant"]}, img
+    )
+    assert np.isfinite(np.asarray(out)).all()
