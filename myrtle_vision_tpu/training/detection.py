@@ -98,15 +98,23 @@ def evaluate_coco(detect_fn, state, loader, coco_index, epoch=0):
 
 def make_match_fn(model):
     """Split-step matching: a standalone jitted program that runs the
-    forward (no grad) and the Hungarian assignment for every micro-batch,
-    returning src_idx [n_accum, B, M].
+    forward (no grad) AND the Hungarian assignment for every micro-batch
+    in ONE program, returning src_idx [n_accum, B, M].
 
-    Why split: this container's TPU runtime faults when re-executing a
-    single program that combines the transformer, the loop-based matcher
-    and the gradient computation; the three pieces re-execute fine as
-    separate programs (forward-only / matcher-only / grad-with-indices).
-    Costs one extra forward — only used when MVT_DETECTION_MATCH=split or
-    on the affected backend (detection/train.py decides).
+    Why split from the grad step: this container's TPU runtime faults
+    when re-executing a single program that combines the transformer,
+    the loop-based matcher and the gradient computation; split as
+    (forward+matcher) / (grad-with-indices) the two programs re-execute
+    fine.  At ~100ms tunnel-dispatch RTT each saved program is ~100ms of
+    wall time per step, and the merged form also keeps the micro-batch
+    logits/boxes in VMEM/HBM-local form instead of round-tripping them
+    between two programs (the round-3 epoch profile was dispatch-bound:
+    139s/epoch with ~10ms/step of chip compute).
+    MVT_DETECTION_MATCH_PROGRAMS=3 restores the fully-split
+    forward-only / matcher-only pair (diagnostic fallback for runtimes
+    where even forward+matcher faults on re-execution).
+    Costs one extra forward — only used when MVT_DETECTION_MATCH=split
+    or on the affected backend (detection/train.py decides).
 
     Semantics note: the matching forward runs DETERMINISTIC (no
     dropout), while the fused path matches on the training forward.
@@ -114,38 +122,76 @@ def make_match_fn(model):
     dropout=0.0); with dropout>0 the split matcher would see slightly
     different logits than the loss — prefer fused matching there.
     """
+    import os
+
     from myrtle_vision_tpu.models.matcher import hungarian_match
 
+    if os.environ.get("MVT_DETECTION_MATCH_PROGRAMS") == "3":
+        @jax.jit
+        def forward(params, quant, images_acc):
+            variables = {"params": params}
+            if quant:
+                variables["quant"] = quant
+
+            def micro(_, images):
+                out = model.apply(variables, images, deterministic=True)
+                return 0, (out["pred_logits"], out["pred_boxes"])
+
+            _, (logits, boxes) = jax.lax.scan(micro, 0, images_acc)
+            return logits, boxes
+
+        @jax.jit
+        def match(logits_acc, boxes_acc, labels_acc, tboxes_acc,
+                  valid_acc):
+            def micro(_, args):
+                logits, boxes, labels, tboxes, valid = args
+                src = hungarian_match(logits, boxes, labels, tboxes,
+                                      valid)
+                return 0, src
+
+            _, src = jax.lax.scan(
+                micro, 0,
+                (logits_acc, boxes_acc, labels_acc, tboxes_acc,
+                 valid_acc),
+            )
+            return src
+
+        def compute_src_idx(state, batch):
+            logits, boxes = forward(
+                state.params, state.quant, batch["image"]
+            )
+            return match(
+                logits, boxes, batch["labels"], batch["boxes"],
+                batch["valid"],
+            )
+
+        return compute_src_idx
+
     @jax.jit
-    def forward(params, quant, images_acc):
+    def fwd_match(params, quant, images_acc, labels_acc, tboxes_acc,
+                  valid_acc):
         variables = {"params": params}
         if quant:
             variables["quant"] = quant
 
-        def micro(_, images):
-            out = model.apply(variables, images, deterministic=True)
-            return 0, (out["pred_logits"], out["pred_boxes"])
-
-        _, (logits, boxes) = jax.lax.scan(micro, 0, images_acc)
-        return logits, boxes
-
-    @jax.jit
-    def match(logits_acc, boxes_acc, labels_acc, tboxes_acc, valid_acc):
         def micro(_, args):
-            logits, boxes, labels, tboxes, valid = args
-            src = hungarian_match(logits, boxes, labels, tboxes, valid)
+            images, labels, tboxes, valid = args
+            out = model.apply(variables, images, deterministic=True)
+            src = hungarian_match(
+                out["pred_logits"], out["pred_boxes"], labels, tboxes,
+                valid,
+            )
             return 0, src
 
         _, src = jax.lax.scan(
-            micro, 0,
-            (logits_acc, boxes_acc, labels_acc, tboxes_acc, valid_acc),
+            micro, 0, (images_acc, labels_acc, tboxes_acc, valid_acc)
         )
         return src
 
     def compute_src_idx(state, batch):
-        logits, boxes = forward(state.params, state.quant, batch["image"])
-        return match(
-            logits, boxes, batch["labels"], batch["boxes"], batch["valid"]
+        return fwd_match(
+            state.params, state.quant, batch["image"], batch["labels"],
+            batch["boxes"], batch["valid"],
         )
 
     return compute_src_idx
