@@ -97,7 +97,10 @@ def train(config):
     global_micro_batch = batch_size * n_data
     step_batch = global_micro_batch * n_batch_accum
 
-    os.makedirs(output_directory, exist_ok=True)
+    # only process 0 saves checkpoints; non-zero processes must not
+    # create their own (datetime-suffixed) output dirs
+    if jax.process_index() == 0:
+        os.makedirs(output_directory, exist_ok=True)
     print("output directory:", output_directory)
 
     dataset_path = data_config["dataset_path"]

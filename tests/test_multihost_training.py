@@ -219,8 +219,12 @@ def test_two_process_training_matches_single_process(tmp_path):
     )
 
     # the multi-process run wrote checkpoints from process 0 only (the
-    # output dir gets a datetime suffix at launch, reference behavior)
+    # output dir gets a datetime suffix at launch, reference behavior);
+    # non-zero processes create no dir at all, so exactly one exists
+    # (two same-named dirs would collapse to one; two differently
+    # timestamped ones were the old flake)
     ckpt_dirs = [
         d for d in os.listdir(tmp_path) if d.startswith("ckpt_multi")
     ]
-    assert ckpt_dirs and os.listdir(tmp_path / ckpt_dirs[0])
+    assert len(ckpt_dirs) == 1, ckpt_dirs
+    assert os.listdir(tmp_path / ckpt_dirs[0])
