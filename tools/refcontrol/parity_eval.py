@@ -26,13 +26,18 @@ kwargs = vit_kwargs_from_config(cfg, data_config)
 kwargs["dtype"] = jnp.float32  # eval-time numerics
 vit = ViT(**kwargs)
 tx = create_optimizer(cfg["train_config"])
-state = init_train_state(vit, tx, jax.random.PRNGKey(0), jnp.zeros((1, 80, 80, 3)))
+state = init_train_state(
+    vit, tx, jax.random.PRNGKey(0),
+    jnp.zeros((1, vit.image_size, vit.image_size, 3)))
 state, _ = prepare_model_and_load_ckpt(cfg["train_config"], state, restore_optimizer=False)
 
 from myrtle_vision.models.vit import ViT as RefViT
 payload = torch.load(os.environ.get("PARITY_PTH", "/tmp/ours_export.pth"), map_location="cpu", weights_only=True)
-rv = RefViT(decoder="classification", image_size=80, patch_size=16,
-    num_classes=10, dim=128, depth=5, heads=2, mlp_dim=256)
+_vc = cfg["vit_config"]
+rv = RefViT(decoder="classification", image_size=_vc["image_size"],
+    patch_size=_vc["patch_size"], num_classes=data_config["number_of_classes"],
+    dim=_vc["embed_dim"], depth=_vc["depth"], heads=_vc["heads"],
+    mlp_dim=_vc["mlp_dim"])
 missing, unexpected = rv.load_state_dict(payload["model"], strict=False)
 assert not unexpected and not missing, (missing, unexpected)
 rv.eval()
