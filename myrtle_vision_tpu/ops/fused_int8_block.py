@@ -67,8 +67,6 @@ from myrtle_vision_tpu.ops.fused_mlp import (
     _gelu_f32,
     _layernorm_f32,
 )
-from myrtle_vision_tpu.ops.high_precision import dot_high3
-
 _EPS = 1e-5
 
 
@@ -97,6 +95,50 @@ def _quantize_i8(x, s, zp, has):
     zp_safe = jnp.where(has > 0.5, zp, 128.0)
     q = jnp.clip(jnp.rint(x / s_safe) + zp_safe, 0.0, 255.0)
     return (q - 128.0).astype(jnp.int8), s_safe, zp_safe
+
+
+def _split_bf16(x):
+    """fp32 -> (hi, lo) bf16 pair, hi + lo ~= x (ops/high_precision._split)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot3_packed_qk(a, b):
+    """3-pass fp32 score contraction sum_d a[n,d] b[m,d] as ONE MXU dot.
+
+    dot_high3 issues three K=64 dots (half-tile contraction on the
+    128-wide MXU, ~50% utilization each); packing the passes along the
+    contraction axis — [ah | al | ah] . [bh | bh | bl] — computes the
+    same three bf16 products (ah.bh + al.bh + ah.bl) in a single K=3D
+    dot (192 -> one-and-a-half tiles, ~75% utilization).  The fp32
+    accumulation ORDER differs from dot_high3's (d1+d2)+d3, so outputs
+    agree to fp32 roundoff rather than bitwise — inside this kernel the
+    result feeds a softmax and then a uint8 requant, which
+    tests/test_convert.py bounds at 1e-4 alongside the GELU polynomial."""
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
+    a3 = jnp.concatenate([ah, al, ah], axis=1)
+    b3 = jnp.concatenate([bh, bh, bl], axis=1)
+    return jax.lax.dot_general(
+        a3, b3,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot3_packed_pv(p, v):
+    """3-pass fp32 sum_m p[n,m] v[m,d] as ONE MXU dot (see
+    _dot3_packed_qk; packing [ph | pl | ph] @ [vh ; vh ; vl])."""
+    ph, pl = _split_bf16(p)
+    vh, vl = _split_bf16(v)
+    p3 = jnp.concatenate([ph, pl, ph], axis=1)
+    v3 = jnp.concatenate([vh, vh, vl], axis=0)
+    return jax.lax.dot_general(
+        p3, v3,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _i8_dot(q8, w8_ref, colsum_ref, w_scale, s_x, zp, bias_ref):
@@ -131,8 +173,9 @@ def _attn_kernel(x_ref, s_ref, b_ref, w_ref, cs_ref, bq_ref,
         s1, zp1, h1 = _site(qp_ref, 1)
         qkv = _requant(qkv, s1, zp1, h1)
 
-        # fp32 softmax core, op-for-op the xla impl of
-        # multi_head_attention (3-pass dots, exact-divide softmax)
+        # fp32 softmax core: the same three bf16 passes as the xla
+        # impl's dot_high3, packed into single MXU dots
+        # (_dot3_packed_qk/_pv), exact-divide softmax
         c = qkv.shape[-1] // 3
         d = c // heads
         outs = []
@@ -140,12 +183,11 @@ def _attn_kernel(x_ref, s_ref, b_ref, w_ref, cs_ref, bq_ref,
             q = qkv[:, h * d:(h + 1) * d]
             k = qkv[:, c + h * d:c + (h + 1) * d]
             v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
-            s = dot_high3(q, k, (((1,), (1,)), ((), ()))) \
-                * jnp.float32(scale)
+            s = _dot3_packed_qk(q, k) * jnp.float32(scale)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)
-            outs.append(dot_high3(p, v, (((1,), (0,)), ((), ()))))
+            outs.append(_dot3_packed_pv(p, v))
         ctx = jnp.concatenate(outs, axis=-1)  # (N, C)
 
         s2, zp2, h2 = _site(qp_ref, 2)
