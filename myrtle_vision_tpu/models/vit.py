@@ -181,19 +181,30 @@ class QDense(nn.Module):
         # (ops/attention.py), and is the SAME function the fused Pallas
         # quant kernels run — so the two paths are bit-identical by
         # construction (HIGHEST's 6 passes measured 691 img/s train).
-        # PyTorchINT8 keeps HIGHEST: its simulation is the reference
+        # PyTorchINT8 EVAL keeps HIGHEST: its simulation is the reference
         # the converted integer path (exact int32 accumulation) is
         # tested against at 1e-5, and the 3-pass dropped cross-term is
         # enough to flip a requant rounding step (one int8 grid step on
-        # the logits); INT8 stays on the unfused path anyway, so the
-        # fused-kernel bit-identity argument doesn't apply to it.
+        # the logits).  The QAT TRAINING forward (``calibrating=True`` —
+        # observers updating every step, training/classification.py:27-31)
+        # runs the 3-pass HIGH decomposition instead: HIGHEST costs ~6 MXU
+        # passes vs HIGH's 3, a hard 2x on the dot-dominated QAT step, and
+        # a dropped ~2^-24-relative cross term under STOCHASTIC training
+        # is noise (the eval/PTQ-parity comparisons all run
+        # calibrating=False and are unaffected; observer min/max stats
+        # shift by at most the same 2^-24 relative term).
         if self.q_format == QFormat.PyTorchINT8:
-            y = jnp.dot(
-                x.astype(self.dtype),
-                kernel.astype(self.dtype),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            ).astype(self.dtype)
+            if calibrating:
+                y = matmul_high3(
+                    x.astype(self.dtype), kernel.astype(self.dtype)
+                ).astype(self.dtype)
+            else:
+                y = jnp.dot(
+                    x.astype(self.dtype),
+                    kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ).astype(self.dtype)
         elif self.q_format != QFormat.FP32:
             y = matmul_high3(
                 x.astype(self.dtype), kernel.astype(self.dtype)
