@@ -39,14 +39,29 @@ def export(config, output, wrap_train_ckpt=False):
     assert (
         train_config["checkpoint_path"] != ""
     ), "Must provide a checkpoint path in the config file"
-    tx = create_optimizer(train_config)
-    state = init_train_state(
-        vit, tx, jax.random.PRNGKey(0),
-        jnp.zeros((1, vit.image_size, vit.image_size, 3)),
-    )
-    state, iteration = prepare_model_and_load_ckpt(
-        train_config, state, restore_optimizer=False
-    )
+    if "distiller_config" in config:
+        # distillation training checkpoints hold the DistillWrapper tree
+        # {student, distillation_token, distill_mlp}; the reference's
+        # distill runs save only the student's state dict
+        # (classification/train.py:210-217 saves model=vit), so export the
+        # student subtree — param names below "student" are the plain ViT
+        # layout
+        from flax import serialization
+
+        with open(train_config["checkpoint_path"], "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        state = type("S", (), {})()
+        state.params = payload["model"]["student"]
+        iteration = int(payload["iteration"])
+    else:
+        tx = create_optimizer(train_config)
+        state = init_train_state(
+            vit, tx, jax.random.PRNGKey(0),
+            jnp.zeros((1, vit.image_size, vit.image_size, 3)),
+        )
+        state, iteration = prepare_model_and_load_ckpt(
+            train_config, state, restore_optimizer=False
+        )
     # stateless QAT formats: the reference's prepare_qat (run at model
     # construction) wraps each Linear/LayerNorm in
     # Sequential(stub, module), so its state-dict names carry an extra
