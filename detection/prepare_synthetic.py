@@ -75,15 +75,24 @@ def _draw(arr, cat, x, y, w, h, rng):
         arr[y:y + h, x + (w - t_w) // 2:x + (w + t_w) // 2] = color
 
 
-def make_split(root, split, n, id_base, rng):
+def make_split(root, split, n, id_base, rng, easy=False):
     os.makedirs(os.path.join(root, split), exist_ok=True)
     images, annotations = [], []
     ann_id = id_base
     for i in range(n):
         img_id = id_base + i
         arr = _background(rng)
-        for _ in range(rng.randint(1, 5)):
-            w, h = rng.randint(24, 65, 2)
+        if easy:
+            arr = 0.35 * arr + 0.65 * 120.0  # flatten texture contrast
+        n_obj = 1 if easy else rng.randint(1, 5)
+        for _ in range(n_obj):
+            if easy:
+                # single large unambiguous object: the from-scratch
+                # control must LEARN (target AP >= 0.2), not just match
+                # seed noise (VERDICT r3 weak item 5)
+                w, h = rng.randint(64, 113, 2)
+            else:
+                w, h = rng.randint(24, 65, 2)
             x = rng.randint(0, IMG - w)
             y = rng.randint(0, IMG - h)
             cat = rng.randint(0, len(CLASSES))
@@ -129,10 +138,15 @@ def make_split(root, split, n, id_base, rng):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--root", default="data/dior_synth_ctl")
+    p.add_argument(
+        "--easy", action="store_true",
+        help="single large object per image on a flattened background "
+        "(the learnable from-scratch control substrate)",
+    )
     args = p.parse_args()
     rng = np.random.RandomState(20260817)
     for split, n, id_base in SPLITS:
-        make_split(args.root, split, n, id_base, rng)
+        make_split(args.root, split, n, id_base, rng, easy=args.easy)
     print(f"wrote {args.root}: " + ", ".join(
         f"{s}={n}" for s, n, _ in SPLITS
     ))
