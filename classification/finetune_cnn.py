@@ -167,6 +167,14 @@ def finetune(model_name, data_config_path, epochs, batch_size, lr,
         k: torch.from_numpy(np.array(v, copy=True))
         for k, v in params.items()
     }
+    # torch BatchNorm state dicts carry num_batches_tracked; a strict
+    # load (reference utils/models.py:17 get_teacher) rejects their
+    # absence, so emit one per BN alongside the running stats
+    for k in list(out_sd):
+        if k.endswith("running_mean"):
+            out_sd[k[: -len("running_mean")] + "num_batches_tracked"] = (
+                torch.tensor(0, dtype=torch.int64)
+            )
     torch.save(out_sd, output)
     print(f"saved finetuned weights to {output}")
 
