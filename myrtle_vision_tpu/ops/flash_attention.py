@@ -58,11 +58,26 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _kernel_precision(a):
+    """Contract precision for dots INSIDE the Pallas kernels.
+
+    ``JAX_DEFAULT_MATMUL_PRECISION=highest`` (the true-fp32 training
+    recipe, README "Matmul precision") applies to every dot whose
+    precision is None — including these.  Mosaic rejects fp32 contract
+    precision on bf16 operands ("Bad lhs type"), and it would be a
+    no-op anyway: bf16 products are exact in the fp32 accumulator.  So
+    pin DEFAULT for low-precision operands and inherit the env only
+    for fp32 operands, where multi-pass precision is real.
+    """
+    return None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+
 def _dot(a, b, transpose_b=False):
     dims = (((1,), (1 if transpose_b else 0,)), ((), ()))
     return jax.lax.dot_general(
         a, b, dimension_numbers=dims,
         preferred_element_type=jnp.float32,
+        precision=_kernel_precision(a),
     )
 
 
@@ -105,6 +120,7 @@ def _bdot(a, b, contract, batch=((0,), (0,))):
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, batch),
         preferred_element_type=jnp.float32,
+        precision=_kernel_precision(a),
     )
 
 
@@ -302,6 +318,7 @@ def _blk_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
         return jax.lax.dot_general(
             a, b, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=_kernel_precision(a),
         )
 
     dv_ref[0] = dot_t(pb, do).astype(dv_ref.dtype)  # (KV_BLK, D)

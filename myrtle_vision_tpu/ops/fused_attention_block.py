@@ -104,6 +104,11 @@ def _recip_f32(y):
 
 
 def _dot(a, b, contract, prefer=jnp.float32, precision=None):
+    # JAX_DEFAULT_MATMUL_PRECISION=highest would otherwise leak fp32
+    # contract precision onto bf16 operands, which Mosaic rejects (and
+    # which is a no-op anyway: bf16 products are exact in fp32).
+    if precision is None and a.dtype != jnp.float32:
+        precision = jax.lax.Precision.DEFAULT
     return jax.lax.dot_general(
         a, b, dimension_numbers=(contract, ((), ())),
         preferred_element_type=prefer, precision=precision,

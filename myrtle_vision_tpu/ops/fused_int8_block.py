@@ -124,6 +124,8 @@ def _dot3_packed_qk(a, b):
         a3, b3,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,  # bf16 operands: env
+        # matmul-precision defaults are illegal under Mosaic + no-op
     )
 
 
@@ -138,6 +140,7 @@ def _dot3_packed_pv(p, v):
         p3, v3,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
 
 
@@ -148,6 +151,7 @@ def _i8_dot(q8, w8_ref, colsum_ref, w_scale, s_x, zp, bias_ref):
         q8, w8_ref[...],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
+        precision=jax.lax.Precision.DEFAULT,  # int8 operands
     ).astype(jnp.float32)
     return (s_x * w_scale) * (
         acc + (128.0 - zp) * colsum_ref[...]

@@ -71,8 +71,15 @@ def _mm(a, b, qspec, dims=None):
         dims = (((a.ndim - 1,), (0,)), ((), ()))
     if qspec is not None:
         return dot_high3(a, b, dims)
+    # pin DEFAULT for non-fp32 operands: the env's matmul-precision
+    # default (true-fp32 recipe) is illegal under Mosaic for bf16
+    # operands and a numerical no-op (bf16 products are exact in fp32)
+    precision = (
+        None if a.dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    )
     return jax.lax.dot_general(
-        a, b, dims, preferred_element_type=jnp.float32
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=precision,
     )
 
 

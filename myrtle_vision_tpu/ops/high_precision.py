@@ -50,6 +50,10 @@ def dot_high3(a, b, dimension_numbers):
         jax.lax.dot_general,
         dimension_numbers=dimension_numbers,
         preferred_element_type=jnp.float32,
+        # pin DEFAULT: these operands are bf16, so the env's matmul
+        # precision default (the true-fp32 recipe sets 'highest') is
+        # both illegal under Mosaic and a numerical no-op here
+        precision=jax.lax.Precision.DEFAULT,
     )
     return (d(ah, bh) + d(ah, bl)) + d(al, bh)
 
