@@ -466,6 +466,9 @@ class Block(nn.Module):
     # mesh axis name the block's fused kernels shard their heads /
     # hidden columns over (the caller must apply under shard_map)
     tp_axis: Optional[str] = None
+    # the model's real layer count, for the residual-saving HBM budget
+    # (ops/acts_policy.py); None -> reference-family fallback of 12
+    model_depth: Optional[int] = None
 
     def setup(self):
         self.attn_norm = QLayerNorm(
@@ -649,6 +652,7 @@ class Block(nn.Module):
                     self.dim_head ** -0.5,
                     qspec,
                     inv,
+                    self.model_depth,
                 )
                 x = tp_lib.partial_out(part, tp)
             elif fuse:
@@ -663,6 +667,8 @@ class Block(nn.Module):
                     self.heads,
                     self.dim_head ** -0.5,
                     qspec,
+                    1.0,
+                    self.model_depth,
                 )
             else:
                 cint8 = (
@@ -796,6 +802,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 tp_axis=self.tp_axis,
+                model_depth=self.depth,
                 name=f"layers_{i}",
             )(x, deterministic, calibrating, capture_attention)
         return x

@@ -14,13 +14,15 @@ Measured on v5e at ViT-S/16 b512: 6.45 -> 5.93 ms per block fwd+bwd.
 streaming its 4x-wider pre-GELU residual costs more than the fc1
 recompute it saves — see ops/fused_mlp.py module docstring.)
 
-Budget model: the reference's ViT family (tiny/small/base,
-classification/train_configs/*.json) is uniformly depth 12, so a kernel
-call can estimate the whole-model cost of its own residual as 12x one
-layer.  Saving engages when that estimate fits the budget (default
-4 GiB, which alongside the ~3 GiB of existing x/ctx residuals and
-optimizer state stays under a 16 GiB v5e chip at ViT-S batch 512 /
-ViT-B batch 256; at batch 1024 the gate turns saving off).
+Budget model: a kernel call estimates the whole-model cost of its own
+residual as depth x one layer and saves when that estimate fits the
+budget (default 4 GiB, which alongside the ~3 GiB of existing x/ctx
+residuals and optimizer state stays under a 16 GiB v5e chip at ViT-S
+batch 512 / ViT-B batch 256; at batch 1024 the gate turns saving off).
+The model passes its real ``depth`` down (models/vit.py Block ->
+fused_attention_block); a caller that cannot know it (direct kernel
+microbenches) gets the reference family's uniform depth 12
+(classification/train_configs/*.json) as the fallback.
 
 Env overrides (read at trace time):
   MVT_SAVE_ACTS=0|1     force off / force on (bypasses the budget)
@@ -30,18 +32,20 @@ from __future__ import annotations
 
 import os
 
-_ASSUMED_DEPTH = 12
+_FALLBACK_DEPTH = 12
 
 
-def save_acts(extra_bytes_per_layer: int) -> bool:
+def save_acts(extra_bytes_per_layer: int, depth: int | None = None) -> bool:
     """Whether a fused kernel should save its projection rows for the
     backward instead of rematerializing them.
 
     ``extra_bytes_per_layer``: bytes of the residual ONE kernel call
-    would add (batch * rows * width * itemsize).
+    would add (batch * rows * width * itemsize).  ``depth``: the
+    model's real layer count (None -> reference-family fallback 12).
     """
     env = os.environ.get("MVT_SAVE_ACTS")
     if env is not None and env != "auto":
         return env == "1"
     budget_gb = float(os.environ.get("MVT_SAVE_ACTS_GB", 4.0))
-    return _ASSUMED_DEPTH * extra_bytes_per_layer <= budget_gb * (1 << 30)
+    n_layers = depth if depth else _FALLBACK_DEPTH
+    return n_layers * extra_bytes_per_layer <= budget_gb * (1 << 30)

@@ -495,9 +495,10 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
     return dscale, dbias, dw, dbq, dwp, dbp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
-                          heads, scale, qspec=None, res_scale=1.0):
+                          heads, scale, qspec=None, res_scale=1.0,
+                          depth=None):
     """x*res_scale + proj(MHA(qkv(LN(x)))) over (B, N, C).
 
     wqkv: (C, 3C) fused projection (feature order [3][h][d], the timm/
@@ -511,6 +512,10 @@ def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
     bp pre-scaled by 1/n_tp and ``res_scale = 1/n_tp``; a psum over the
     model axis of the partial outputs then reassembles
     x + proj + bias exactly (models/vit.py Block TP path).
+
+    ``depth``: the model's real layer count, used only by the
+    residual-saving HBM budget (ops/acts_policy.py); None falls back
+    to the reference family's uniform 12.
     """
     return _attn_forward(
         x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
@@ -519,10 +524,10 @@ def fused_attention_block(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
 
 
 def _fwd_rule(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
-              qspec, res_scale):
+              qspec, res_scale, depth):
     b, n, _ = x.shape
     cl = wp.shape[0]
-    sv = save_acts(b * n * 3 * cl * jnp.dtype(x.dtype).itemsize)
+    sv = save_acts(b * n * 3 * cl * jnp.dtype(x.dtype).itemsize, depth)
     outs = _attn_forward(
         x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
         save_stats=True, qspec=qspec, res_scale=res_scale, save_qkv=sv,
@@ -564,7 +569,7 @@ def _bwd_group(b: int, c: int) -> int:
     return 1
 
 
-def _bwd_rule(heads, scale, qspec, res_scale, res, do):
+def _bwd_rule(heads, scale, qspec, res_scale, depth, res, do):
     x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs, qkv = res
     b, n, c = x.shape
     cl = wp.shape[0]  # local attention width (== c unless head-sharded)

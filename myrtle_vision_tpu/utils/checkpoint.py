@@ -53,8 +53,25 @@ def load_checkpoint(state, filepath, restore_optimizer=True):
     with open(filepath, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
 
-    params = serialization.from_state_dict(state.params, payload["model"])
+    model_tree = payload["model"]
     saved_quant = payload.get("quant") or {}
+    if (
+        isinstance(model_tree, dict)
+        and "student" in model_tree
+        and not (
+            isinstance(state.params, dict) and "student" in state.params
+        )
+    ):
+        # distillation training checkpoints hold the DistillWrapper tree
+        # {student, distillation_token, distill_mlp}; evaluating with a
+        # plain ViT template reads the student subtree — the analogue of
+        # the reference, whose distill runs save only the student
+        # (reference classification/train.py:210-217 saves model=vit)
+        model_tree = model_tree["student"]
+        if isinstance(saved_quant, dict) and "student" in saved_quant:
+            saved_quant = saved_quant["student"]
+
+    params = serialization.from_state_dict(state.params, model_tree)
     if saved_quant:
         quant = serialization.from_state_dict(state.quant, saved_quant)
     else:

@@ -115,3 +115,62 @@ def test_budget_gate():
     finally:
         os.environ.clear()
         os.environ.update(prev)
+
+
+def test_budget_gate_uses_real_depth():
+    """The gate scales by the model's REAL depth: a depth-5 micro
+    config affords 12/5 = 2.4x the per-layer residual the old
+    hardcoded 12-layer assumption allowed, and deeper-than-12 models
+    must gate off sooner."""
+    prev = dict(os.environ)
+    os.environ.pop("MVT_SAVE_ACTS", None)
+    os.environ.pop("MVT_SAVE_ACTS_GB", None)
+    try:
+        gib = 1 << 30
+        # per-layer residual that a 12-layer model must reject...
+        per_layer = int(0.5 * gib)
+        assert not save_acts(per_layer)           # fallback depth 12
+        assert not save_acts(per_layer, depth=12)
+        # ...fits comfortably for the depth-5 micro configs
+        assert save_acts(per_layer, depth=5)      # 2.5 GiB <= 4 GiB
+        # and a 24-layer model gates off where 12 layers would fit
+        assert save_acts(int(0.3 * gib), depth=12)
+        assert not save_acts(int(0.3 * gib), depth=24)
+        # None (direct kernel microbenches) == 12-layer fallback
+        assert save_acts(int(0.3 * gib), depth=None)
+    finally:
+        os.environ.clear()
+        os.environ.update(prev)
+
+
+def test_block_threads_model_depth(monkeypatch):
+    """models/vit.py passes the Transformer's real depth down to the
+    kernel's save_acts gate (VERDICT r4 item 9: the depth-5 micro
+    configs were charged a 12-layer budget)."""
+    import flax.linen as nn
+
+    from myrtle_vision_tpu.models.vit import Transformer
+    from myrtle_vision_tpu.quantize import QFormat
+    import myrtle_vision_tpu.ops.fused_attention_block as fab
+
+    seen = []
+    real = save_acts
+
+    def spy(extra, depth=None):
+        seen.append(depth)
+        return real(extra, depth)
+
+    monkeypatch.setattr(fab, "save_acts", spy)
+
+    t = Transformer(
+        dim=64, depth=5, heads=2, dim_head=32, mlp_dim=128,
+        dropout=0.0, q_format=QFormat.FP32,
+    )
+    x = jnp.zeros((2, 40, 64), jnp.float32)
+    params = t.init(jax.random.PRNGKey(0), x)
+
+    def loss(p):
+        return jnp.sum(t.apply(p, x))
+
+    jax.grad(loss)(params)  # tracing runs _fwd_rule -> save_acts
+    assert seen and all(d == 5 for d in seen)
