@@ -277,12 +277,21 @@ class QGelu(nn.Module):
     def __call__(self, x, calibrating: bool = False):
         x = self.act_in(x, calibrating)
         if self.q_format in (QFormat.FP16_16, QFormat.FP16_32,
-                             QFormat.TF32):
+                             QFormat.TF32) or (
+            self.q_format == QFormat.PyTorchINT8 and calibrating
+        ):
             # the stateless quant formats share the exact-divide
             # polynomial-erf GELU with the fused Pallas kernels (which
             # have no erf lowering) so the fused and discrete-site paths
             # are bit-identical; the 1.5e-7 poly error is ~3 decades
-            # below these formats' 11-bit mantissa resolution
+            # below these formats' 11-bit mantissa resolution.  The
+            # INT8 QAT TRAINING forward (calibrating=True) shares it
+            # for the same fused/discrete bit-identity (the two-pass
+            # fused step, Block.__call__); under stochastic training
+            # the 1.5e-7 erf difference is noise — the same argument
+            # as its HIGHEST->HIGH dot switch (QDense.__call__).  INT8
+            # EVAL keeps the exact erf: that is the reference-parity
+            # simulation PTQ row 3 was measured with.
             from myrtle_vision_tpu.ops.fused_mlp import gelu_erf_poly
 
             y = gelu_erf_poly(x.astype(jnp.float32))
@@ -508,6 +517,7 @@ class Block(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
+        int8_fused: bool = False,
     ):
         # Fast path: each block half is one Pallas kernel
         # (ops/fused_attention_block.py, ops/fused_mlp.py) — for FP32 and
@@ -542,6 +552,86 @@ class Block(nn.Module):
         # (ops/fused_int8_block.py); calibration, attention capture,
         # dropout, TP and long sequences keep the discrete-site
         # composition (QDense._int8_forward per projection)
+        # Two-pass INT8 QAT training (training/classification.py): the
+        # observer pass has already folded this batch into the running
+        # min/max, so each site's grid is frozen for this differentiated
+        # pass and both block halves run as single Pallas kernels with
+        # the affine uint8 snaps in-kernel (fused_attention_block_i8 /
+        # fused_mlp_block_i8) — bit-identical to the discrete
+        # update-then-use composition (min/max updates are idempotent;
+        # tests/test_fused_int8_qat.py).  Weight fake-quant stays
+        # outside the kernels with its STE carrying the gradient.
+        int8_qat_fuse = (
+            int8_fused
+            and self.q_format == QFormat.PyTorchINT8
+            and not self.converted
+            and not capture_attention
+            and (self.dropout == 0.0 or deterministic)
+            and _os.environ.get("MVT_NO_FUSE") != "1"
+            and self.tp_axis is None
+            and fuses_at(x.shape[1], self.heads, self.dim_head)
+        )
+        if int8_qat_fuse:
+            from myrtle_vision_tpu.ops.fused_attention_block import (
+                fused_attention_block_i8,
+            )
+            from myrtle_vision_tpu.ops.fused_mlp import (
+                fused_mlp_block_i8,
+            )
+
+            def _qsw(w):
+                return quantize_weight(
+                    w, self.q_format, "linear", False
+                ).astype(self.dtype)
+
+            def _qs_rows(sites):
+                return jnp.stack([
+                    jnp.stack([
+                        jnp.asarray(s, jnp.float32).reshape(()),
+                        jnp.asarray(z, jnp.float32).reshape(()),
+                        jnp.asarray(h, jnp.float32).reshape(()),
+                    ])
+                    for (s, z, h) in sites
+                ])
+
+            with jax.named_scope("transformer:attention"):
+                x = fused_attention_block_i8(
+                    x.astype(self.dtype),
+                    self.attn_norm.scale_p.astype(self.dtype),
+                    self.attn_norm.bias_p,
+                    _qsw(self.attn.to_qkv_kernel),
+                    self.attn.to_qkv_bias,
+                    _qsw(self.attn.to_out_kernel),
+                    self.attn.to_out_bias,
+                    _qs_rows([
+                        self.attn_norm.out_qparams(),
+                        self.attn.to_qkv.act_out.int8_qparams(),
+                        self.attn.quant_out.int8_qparams(),
+                        self.attn.to_out.act_out.int8_qparams(),
+                        self.attn_res.out_qparams(),
+                    ]),
+                    self.heads,
+                    self.dim_head ** -0.5,
+                    self.model_depth,
+                )
+            with jax.named_scope("transformer:feedforward"):
+                x = fused_mlp_block_i8(
+                    x,
+                    self.ffn_norm.scale_p.astype(self.dtype),
+                    self.ffn_norm.bias_p,
+                    _qsw(self.ffn.fc1.kernel),
+                    self.ffn.fc1.bias,
+                    _qsw(self.ffn.fc2.kernel),
+                    self.ffn.fc2.bias,
+                    _qs_rows([
+                        self.ffn_norm.out_qparams(),
+                        self.ffn.fc1.act_out.int8_qparams(),
+                        self.ffn.gelu.out_qparams(),
+                        self.ffn.fc2.act_out.int8_qparams(),
+                        self.ffn_res.out_qparams(),
+                    ]),
+                )
+            return x
         int8_fuse = (
             self.converted
             and self.q_format == QFormat.PyTorchINT8
@@ -763,6 +853,7 @@ class Transformer(nn.Module):
         deterministic: bool = True,
         calibrating: bool = False,
         capture_attention: bool = False,
+        int8_fused: bool = False,
     ):
         # Blocks that run the UNFUSED composition (stateful observer
         # formats like PyTorchINT8, or MVT_NO_FUSE diagnostics) save
@@ -786,9 +877,14 @@ class Transformer(nn.Module):
                 or _os.environ.get("MVT_NO_FUSE") == "1"
             )
             and not capture_attention
+            # the two-pass INT8 QAT fused path keeps its own compact
+            # in-kernel residuals (like the stateless fused formats) —
+            # block-level remat would only re-run the fused forward
+            and not int8_fused
         )
         block_cls = (
-            nn.remat(Block, static_argnums=(2, 3, 4)) if remat else Block
+            nn.remat(Block, static_argnums=(2, 3, 4, 5))
+            if remat else Block
         )
         for i in range(self.depth):
             x = block_cls(
@@ -804,7 +900,8 @@ class Transformer(nn.Module):
                 tp_axis=self.tp_axis,
                 model_depth=self.depth,
                 name=f"layers_{i}",
-            )(x, deterministic, calibrating, capture_attention)
+            )(x, deterministic, calibrating, capture_attention,
+              int8_fused)
         return x
 
 
@@ -1090,6 +1187,7 @@ class ViT(nn.Module):
         calibrating: bool = False,
         capture_attention: bool = False,
         distill_token=None,
+        int8_fused: bool = False,
     ):
         b, h, w, c = img.shape
         p = self.patch_size
@@ -1163,7 +1261,8 @@ class ViT(nn.Module):
         # padding does not.
         with jax.named_scope("transformer"):
             x = self.transformer(
-                x, deterministic, calibrating, capture_attention
+                x, deterministic, calibrating, capture_attention,
+                int8_fused,
             )
 
         if distill_token is not None:

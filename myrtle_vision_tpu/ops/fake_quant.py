@@ -224,14 +224,38 @@ int8_symmetric_fake_quant_ste = _int8_symmetric_ste
 # already treats them as straight-through.
 
 def snap(x, qspec):
-    """pre_linear-site snap (all stateless float formats)."""
-    if qspec is None:
+    """pre_linear-site snap (all stateless float formats; PyTorchINT8
+    has no pre_linear activation sites — _INT8_ACT_SITES)."""
+    if qspec is None or qspec == "int8":
         return x
     return float_quantize(x, qspec[0], qspec[1])
 
 
 def snap_all(x, qspec):
-    """post_op/functional/gelu-site snap (all-sites formats, FP16_16)."""
-    if qspec is None or not qspec[2]:
+    """post_op/functional/gelu-site snap (all-sites formats, FP16_16).
+    PyTorchINT8's stateful sites are handled by :func:`snap_int8`."""
+    if qspec is None or qspec == "int8" or not qspec[2]:
         return x
     return float_quantize(x, qspec[0], qspec[1])
+
+
+def snap_int8(x, qspec, qs_ref, idx):
+    """PyTorchINT8 observer-site fake-quant inside the fused block
+    kernels (``qspec == "int8"``): the affine uint8 snap of
+    :func:`int8_affine_fake_quant` with the site's frozen
+    ``(scale, zero_point, has_stats)`` scalars read from the SMEM ref
+    ``qs_ref`` (row ``idx``).  Bit-identical to ActQuant's
+    calibrating=False application (models/vit.py) given the same
+    qparams: same true divide, rint, clip and where-gate.  No STE
+    needed in-kernel — the sites sit inside custom-VJP kernels whose
+    backward already treats them as straight-through (the trainer's
+    two-pass INT8 QAT step stops gradients at the qparams, exactly
+    like the discrete path's zero-cotangent STE)."""
+    if qspec != "int8":
+        return x
+    scale = qs_ref[idx, 0]
+    zp = qs_ref[idx, 1]
+    has = qs_ref[idx, 2]
+    xf = x.astype(jnp.float32)
+    q = jnp.clip(jnp.rint(xf / scale) + zp, 0.0, 255.0)
+    return jnp.where(has > 0.0, (q - zp) * scale, xf)

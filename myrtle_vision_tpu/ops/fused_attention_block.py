@@ -74,6 +74,7 @@ from myrtle_vision_tpu.ops.fake_quant import (
     float_quantize,
     snap as _snap,
     snap_all as _snap_all,
+    snap_int8 as _snap_int8,
 )
 from myrtle_vision_tpu.ops.high_precision import dot_high3
 
@@ -125,21 +126,27 @@ def _dotq(a, b, contract, qspec):
     return _dot(a, b, contract)
 
 
-def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref, qspec=None):
+def _qkv_rows(x, scale_ln, bias_ln, w_ref, bq_ref, qspec=None,
+              qs_ref=None):
     """LN + fused QKV projection: (N, C) -> (N, 3C) in x.dtype.
 
     Quant sites (qspec not None): attn_norm.act_in (pre_linear snap of
     x), attn_norm.act_out (post_op, all-sites only), to_qkv.act_in
     (pre_linear), to_qkv.act_out (post_op, all-sites only); the
     projection dot runs the 3-pass HIGH-grade decomposition like the
-    discrete QDense (ops/high_precision.py)."""
+    discrete QDense (ops/high_precision.py).  ``qspec == "int8"``
+    (two-pass INT8 QAT, models/vit.py Block) instead applies the
+    affine uint8 site snaps with the frozen per-site qparams in
+    ``qs_ref``: attn_norm.act_out -> row 0, to_qkv.act_out -> row 1."""
     ln_out, xhat, rstd = _ln_f32(_snap(x, qspec), scale_ln, bias_ln)
     ln_out = _snap(_snap_all(ln_out, qspec), qspec)
+    ln_out = _snap_int8(ln_out, qspec, qs_ref, 0)
     xn = ln_out.astype(x.dtype)
     qkv = _dotq(
         xn, w_ref[...], ((1,), (0,)), qspec
     ) + bq_ref[...].astype(jnp.float32)
     qkv = _snap_all(qkv, qspec)
+    qkv = _snap_int8(qkv, qspec, qs_ref, 1)
     return qkv.astype(x.dtype), xn, xhat, rstd
 
 
@@ -187,7 +194,7 @@ def _attn_heads_fwd(qkv, heads, scale, dtype, qspec=None):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
-                o_ref, *rest, scale, heads, group, save_stats, qspec,
+                *others, scale, heads, group, save_stats, qspec,
                 res_scale=1.0, save_qkv=False):
     """Forward; with ``save_stats`` also writes the softmax statistics
     and the pre-projection context as residuals for the backward
@@ -195,25 +202,35 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref, bp_ref,
     there (the backward then needs no max/sum reductions and no
     u-recompute dots).  With ``save_qkv`` additionally writes the fused
     qkv rows (rest += (qkv_ref,)) so the backward skips the
-    QKV-projection recompute too (module docstring)."""
+    QKV-projection recompute too (module docstring).  ``qspec ==
+    "int8"`` threads one extra input ref (the (5, 3) SMEM site-qparams
+    block) ahead of the outputs."""
+    if qspec == "int8":
+        qs_ref, o_ref, rest = others[0], others[1], others[2:]
+    else:
+        qs_ref, o_ref, rest = None, others[0], others[1:]
     scale_ln = s_ref[...].astype(jnp.float32)
     bias_ln = b_ref[...].astype(jnp.float32)
     for j in range(group):
         x = x_ref[j]  # (N, C)
         qkv, _, _, _ = _qkv_rows(
-            x, scale_ln, bias_ln, w_ref, bq_ref, qspec
+            x, scale_ln, bias_ln, w_ref, bq_ref, qspec, qs_ref
         )
         o, m, rs = _attn_heads_fwd(qkv, heads, scale, x.dtype, qspec)
         # to_out.act_in (pre_linear) snaps the attention context; the
         # saved residual must be the snapped value (it is the actual
-        # input of the output projection, so dWp contracts against it)
-        o = _snap(o.astype(jnp.float32), qspec).astype(x.dtype)
+        # input of the output projection, so dWp contracts against it).
+        # INT8: the quant_out stub (site 2) sits at the same position.
+        o = _snap(o.astype(jnp.float32), qspec)
+        o = _snap_int8(o, qspec, qs_ref, 2).astype(x.dtype)
         y = _dotq(
             o, wp_ref[...], ((1,), (0,)), qspec
         ) + bp_ref[...].astype(jnp.float32)
         y = _snap_all(y, qspec)  # to_out.act_out (post_op)
+        y = _snap_int8(y, qspec, qs_ref, 3)
         out = x.astype(jnp.float32) * res_scale + y
         out = _snap_all(out, qspec)  # attn_res (functional)
+        out = _snap_int8(out, qspec, qs_ref, 4)
         o_ref[j] = out.astype(o_ref.dtype)
         if save_stats:
             ctx_ref, m_ref, rs_ref = rest[:3]
@@ -276,7 +293,7 @@ def _cap_group(g: int, b: int, n: int, heads: int, d: int) -> int:
 
 def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
                   save_stats=False, qspec=None, res_scale=1.0,
-                  save_qkv=False):
+                  save_qkv=False, qs=None):
     b, n, c = x.shape
     # under head-sharded tensor parallelism wqkv/wp are the LOCAL head
     # slices: wqkv (c, 3*cl), wp (cl, c) with cl = local_heads * d —
@@ -311,6 +328,25 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
                 jax.ShapeDtypeStruct((b, n, 3 * cl), x.dtype)
             )
         out_specs, out_shape = tuple(out_specs), tuple(out_shape)
+    in_specs = [
+        row,
+        vec_c,
+        vec_c,
+        pl.BlockSpec((c, 3 * cl), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * cl,), lambda i: (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cl, c), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        vec_c,
+    ]
+    extra_in = ()
+    if qspec == "int8":
+        in_specs.append(
+            pl.BlockSpec(qs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        extra_in = (qs.astype(jnp.float32),)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, scale=scale, heads=heads, group=g,
@@ -318,18 +354,7 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
             save_qkv=save_qkv,
         ),
         grid=(b // g,),
-        in_specs=[
-            row,
-            vec_c,
-            vec_c,
-            pl.BlockSpec((c, 3 * cl), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * cl,), lambda i: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((cl, c), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            vec_c,
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -338,7 +363,7 @@ def _attn_forward(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
         interpret=_interpret(),
     )(x, scale_ln.astype(x.dtype), bias_ln.astype(x.dtype),
       wqkv.astype(x.dtype), bqkv.astype(jnp.float32),
-      wp.astype(x.dtype), bp.astype(x.dtype))
+      wp.astype(x.dtype), bp.astype(x.dtype), *extra_in)
     return out
 
 
@@ -354,6 +379,11 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
     if save_qkv:
         qkv_ref = rest[0]
         rest = rest[1:]
+    if qspec == "int8":
+        qs_ref = rest[0]
+        rest = rest[1:]
+    else:
+        qs_ref = None
     (dx_ref, ds_ref, db_ref, dw_ref, dbq_ref, dwp_ref, dbp_ref) = rest
     i = pl.program_id(0)
     scale_ln = s_ref[...].astype(jnp.float32)
@@ -367,7 +397,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
             ctx_ref[j], m_ref[j], rs_ref[j],
             qkv_ref[j] if save_qkv else None,
             scale=scale, heads=heads, qspec=qspec,
-            res_scale=res_scale,
+            res_scale=res_scale, qs_ref=qs_ref,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -393,7 +423,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w_ref, bq_ref, wp_ref,
 
 def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
                    dx_ref, j, o, m_all, rs_all, qkv_saved=None, *,
-                   scale, heads, qspec=None, res_scale=1.0):
+                   scale, heads, qspec=None, res_scale=1.0, qs_ref=None):
     """Backward for one image.  ``o`` (N, C), ``m_all``/``rs_all``
     (H, N) are forward residuals: the pre-projection context and the
     softmax rowmax / reciprocal-rowsum, so the backward recomputes only
@@ -413,12 +443,13 @@ def _bwd_one_image(x, do, scale_ln, bias_ln, w_ref, bq_ref, wp_ref,
             _snap(x, qspec), scale_ln, bias_ln
         )
         ln_out = _snap(_snap_all(ln_out, qspec), qspec)
+        ln_out = _snap_int8(ln_out, qspec, qs_ref, 0)
         xn = ln_out.astype(dtype)
         qkv = qkv_saved
     else:
         # ---- recompute forward (projection + scores only) ----
         qkv, xn, xhat, rstd = _qkv_rows(
-            x, scale_ln, bias_ln, w_ref, bq_ref, qspec
+            x, scale_ln, bias_ln, w_ref, bq_ref, qspec, qs_ref
         )
     # attention widths come from the (possibly head-sharded) qkv
     # projection, not from x (tensor parallelism: c_local < C)
@@ -569,7 +600,7 @@ def _bwd_group(b: int, c: int) -> int:
     return 1
 
 
-def _bwd_rule(heads, scale, qspec, res_scale, depth, res, do):
+def _bwd_rule(heads, scale, qspec, res_scale, depth, res, do, qs=None):
     x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs, qkv = res
     b, n, c = x.shape
     cl = wp.shape[0]  # local attention width (== c unless head-sharded)
@@ -598,6 +629,12 @@ def _bwd_rule(heads, scale, qspec, res_scale, depth, res, do):
                          memory_space=pltpu.VMEM)
         )
         extra_in = (qkv,)
+    if qspec == "int8":
+        in_specs.append(
+            pl.BlockSpec(qs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        extra_in = extra_in + (qs.astype(jnp.float32),)
     f32 = jnp.float32
     dx, dscale, dbias, dw, dbq, dwp, dbp = pl.pallas_call(
         functools.partial(
@@ -643,3 +680,64 @@ def _bwd_rule(heads, scale, qspec, res_scale, depth, res, do):
 
 
 fused_attention_block.defvjp(_fwd_rule, _bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# Two-pass INT8 QAT variant (stateful observers frozen for the pass)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_attention_block_i8(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp,
+                             qs, heads, scale, depth=None):
+    """:func:`fused_attention_block` with PyTorchINT8 observer-site
+    fake-quant applied in-kernel at the 5 stateful sites of the
+    discrete path (models/vit.py Block): attn_norm.act_out,
+    to_qkv.act_out, attn.quant_out, to_out.act_out, attn_res — rows
+    0-4 of ``qs`` (5, 3) = per-site (scale, zero_point, has_stats).
+
+    This is the differentiated second pass of the two-pass INT8 QAT
+    train step (training/classification.py): the observer pass has
+    already folded the current batch into the running min/max, so the
+    frozen ``qs`` grids equal what the discrete update-then-use
+    composition would use, and the forward is bit-identical to it
+    (min/max updates are idempotent; tests/test_fused_int8_qat.py).
+    Gradients treat the sites and ``qs`` as straight-through /
+    constant, matching the discrete path's zero-cotangent STEs
+    (ops/fake_quant.py int8_affine_fake_quant_ste).  Dots run the same
+    3-pass HIGH-grade decomposition as the discrete calibrating
+    forward (QDense matmul_high3), and weights must arrive already
+    fake-quantized (the caller's STE carries their gradient).
+    Reference semantics: torch prepare_qat observers + FakeQuantize
+    (reference src/myrtle_vision/utils/quantize.py:230-251)."""
+    return _attn_forward(
+        x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
+        qspec="int8", qs=qs,
+    )
+
+
+def _fwd_rule_i8(x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, qs, heads,
+                 scale, depth):
+    b, n, _ = x.shape
+    cl = wp.shape[0]
+    sv = save_acts(b * n * 3 * cl * jnp.dtype(x.dtype).itemsize, depth)
+    outs = _attn_forward(
+        x, scale_ln, bias_ln, wqkv, bqkv, wp, bp, heads, scale,
+        save_stats=True, qspec="int8", save_qkv=sv, qs=qs,
+    )
+    if sv:
+        out, ctx, m, rs, qkv = outs
+    else:
+        (out, ctx, m, rs), qkv = outs, None
+    return out, (x, scale_ln, bias_ln, wqkv, bqkv, wp, ctx, m, rs, qkv,
+                 qs)
+
+
+def _bwd_rule_i8(heads, scale, depth, res, do):
+    *res_core, qs = res
+    grads = _bwd_rule(
+        heads, scale, "int8", 1.0, depth, tuple(res_core), do, qs=qs
+    )
+    return grads + (jnp.zeros_like(qs),)
+
+
+fused_attention_block_i8.defvjp(_fwd_rule_i8, _bwd_rule_i8)

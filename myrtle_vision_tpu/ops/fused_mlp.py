@@ -55,6 +55,7 @@ from myrtle_vision_tpu.ops.fake_quant import (
     float_quantize,
     snap as _snap,
     snap_all as _snap_all,
+    snap_int8 as _snap_int8,
 )
 from myrtle_vision_tpu.ops.high_precision import dot_high3
 
@@ -156,7 +157,11 @@ def _gelu_and_grad_f32(h, recip=None):
 
 
 def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                o_ref, *, group, qspec, res_scale=1.0):
+                *others, group, qspec, res_scale=1.0):
+    if qspec == "int8":
+        qs_ref, o_ref = others[0], others[1]
+    else:
+        qs_ref, o_ref = None, others[0]
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
 
@@ -166,10 +171,11 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         # fc1.act_in (pre_linear) sites
         xn, _, _ = _layernorm_f32(_snap(x, qspec), scale, bias)
         xn = _snap(_snap_all(xn, qspec), qspec)
+        xn = _snap_int8(xn, qspec, qs_ref, 0)  # ffn_norm.act_out
         xn = xn.astype(x.dtype)
         h = _mm(xn, w1_ref[...], qspec) + b1_ref[...].astype(jnp.float32)
         # fc1.act_out (post_op) + gelu.act_in (gelu_in) sites
-        return _snap_all(h, qspec)
+        return _snap_int8(_snap_all(h, qspec), qspec, qs_ref, 1)
 
     def fc2(j, g):
         x = x_ref[j]
@@ -178,11 +184,17 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
             + b2_ref[...].astype(jnp.float32)
         )
         y = _snap_all(y, qspec)  # fc2.act_out (post_op)
+        y = _snap_int8(y, qspec, qs_ref, 3)
         out = x.astype(jnp.float32) * res_scale + y
         out = _snap_all(out, qspec)  # ffn_res (functional)
+        out = _snap_int8(out, qspec, qs_ref, 4)
         o_ref[j] = out.astype(o_ref.dtype)
 
     def gelu(h):
+        if qspec == "int8":
+            # gelu.act_out (gelu_out site) after the shared polynomial
+            # GELU — same position as the discrete QGelu
+            return _snap_int8(gelu_erf_poly(h), qspec, qs_ref, 2)
         if qspec is not None:
             # gelu_out + fc2.act_in sites around the shared exact-divide
             # polynomial GELU (see gelu_erf_poly)
@@ -201,8 +213,12 @@ def _fwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                do_ref, dx_ref, ds_ref, db_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, *, group, qspec, res_scale=1.0):
+                do_ref, *others, group, qspec, res_scale=1.0):
+    if qspec == "int8":
+        qs_ref, rest = others[0], others[1:]
+    else:
+        qs_ref, rest = None, others
+    (dx_ref, ds_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref) = rest
     i = pl.program_id(0)
     scale = s_ref[...].astype(jnp.float32)
     bias = b_ref[...].astype(jnp.float32)
@@ -213,12 +229,15 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         x = x_ref[j]
         ln_out, xhat, rstd = _layernorm_f32(_snap(x, qspec), scale, bias)
         ln_out = _snap(_snap_all(ln_out, qspec), qspec)
+        ln_out = _snap_int8(ln_out, qspec, qs_ref, 0)
         xn = ln_out.astype(x.dtype)
         h = (
             _mm(xn, w1_ref[...], qspec)
             + b1_ref[...].astype(jnp.float32)
         )
-        return xn, xhat, rstd, _snap_all(h, qspec)
+        return xn, xhat, rstd, _snap_int8(
+            _snap_all(h, qspec), qspec, qs_ref, 1
+        )
 
     # software-pipelined over images: image j+1's LN+fc1 recompute (MXU)
     # is issued before image j's GELU+grad evaluation (VPU)
@@ -229,6 +248,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         grads = _bwd_one_image(
             x_ref[j], do_ref[j].astype(jnp.float32), scale, bias,
             w1_ref, w2_ref, dx_ref, j, a_prev, qspec, res_scale,
+            qs_ref,
         )
         acc = grads if acc is None else tuple(
             a + g for a, g in zip(acc, grads)
@@ -254,7 +274,7 @@ def _bwd_kernel(x_ref, s_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 
 def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
-                   recomputed, qspec=None, res_scale=1.0):
+                   recomputed, qspec=None, res_scale=1.0, qs_ref=None):
     # forward intermediates recomputed by the pipelined stage A
     xn, xhat, rstd, h = recomputed
     if qspec is not None:
@@ -262,6 +282,7 @@ def _bwd_one_image(x, do, scale, bias, w1_ref, w2_ref, dx_ref, j,
         # gelu_out + fc2.act_in snaps: dw2 contracts against the actual
         # fc2 input; the sites are straight-through for dg/dh
         g_f32 = _snap(_snap_all(g_f32, qspec), qspec)
+        g_f32 = _snap_int8(g_f32, qspec, qs_ref, 2)
     else:
         g_f32, ggrad = _gelu_and_grad_f32(h)
     g = g_f32.astype(x.dtype)
@@ -342,7 +363,7 @@ def _as_3d(x):
 
 
 def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None,
-                 res_scale=1.0):
+                 res_scale=1.0, qs=None):
     x3, orig_shape = _as_3d(x)
     b, n, d = x3.shape
     hidden = w1.shape[-1]
@@ -351,12 +372,20 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None,
     g = _group(b, n, d, hidden, "MVT_MLP_FWD_GROUP", 1600, bwd=False)
     row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
+    in_specs = [row, vec_d, vec_d, w1s, vec_h, w2s, vec_d]
+    extra_in = ()
+    if qspec == "int8":
+        in_specs.append(
+            pl.BlockSpec(qs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        extra_in = (qs.astype(jnp.float32),)
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel, group=g, qspec=qspec, res_scale=res_scale
         ),
         grid=(b // g,),
-        in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d],
+        in_specs=in_specs,
         out_specs=row,
         out_shape=jax.ShapeDtypeStruct(x3.shape, x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -364,7 +393,7 @@ def _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec=None,
         ),
         interpret=_interpret(),
     )(x3, scale.astype(wd), bias.astype(wd), w1.astype(wd),
-      b1.astype(wd), w2.astype(wd), b2.astype(wd))
+      b1.astype(wd), w2.astype(wd), b2.astype(wd), *extra_in)
     return out.reshape(orig_shape)
 
 
@@ -392,7 +421,7 @@ def _fwd_rule(x, scale, bias, w1, b1, w2, b2, qspec, res_scale):
     return out, (x, scale, bias, w1, b1, w2, b2)
 
 
-def _bwd_rule(qspec, res_scale, res, do):
+def _bwd_rule(qspec, res_scale, res, do, qs=None):
     x, scale, bias, w1, b1, w2, b2 = res
     x3, orig_shape = _as_3d(x)
     do3, _ = _as_3d(do)
@@ -402,13 +431,21 @@ def _bwd_rule(qspec, res_scale, res, do):
     row, vec_d, vec_h, w1s, w2s = _specs(g, n, d, hidden)
     wd = x.dtype
 
+    in_specs = [row, vec_d, vec_d, w1s, vec_h, w2s, vec_d, row]
+    extra_in = ()
+    if qspec == "int8":
+        in_specs.append(
+            pl.BlockSpec(qs.shape, lambda i: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        extra_in = (qs.astype(jnp.float32),)
     f32 = jnp.float32
     dx, dscale, dbias, dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(
             _bwd_kernel, group=g, qspec=qspec, res_scale=res_scale
         ),
         grid=(b // g,),
-        in_specs=[row, vec_d, vec_d, w1s, vec_h, w2s, vec_d, row],
+        in_specs=in_specs,
         out_specs=(
             row,
             pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -437,7 +474,7 @@ def _bwd_rule(qspec, res_scale, res, do):
         ),
         interpret=_interpret(),
     )(x3, scale.astype(wd), bias.astype(wd), w1.astype(wd),
-      b1.astype(wd), w2.astype(wd), b2.astype(wd), do3)
+      b1.astype(wd), w2.astype(wd), b2.astype(wd), do3, *extra_in)
 
     return (
         dx.reshape(orig_shape),
@@ -451,3 +488,37 @@ def _bwd_rule(qspec, res_scale, res, do):
 
 
 fused_mlp_block.defvjp(_fwd_rule, _bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# Two-pass INT8 QAT variant (stateful observers frozen for the pass)
+# --------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_mlp_block_i8(x, scale, bias, w1, b1, w2, b2, qs):
+    """:func:`fused_mlp_block` with PyTorchINT8 observer-site fake-quant
+    applied in-kernel at the 5 stateful sites of the discrete path
+    (models/vit.py Block): ffn_norm.act_out, fc1.act_out, gelu.act_out,
+    fc2.act_out, ffn_res — rows 0-4 of ``qs`` (5, 3) = per-site
+    (scale, zero_point, has_stats).  See
+    fused_attention_block_i8's docstring for the two-pass QAT
+    semantics; gradients treat the sites and ``qs`` as
+    straight-through / constant, and weights must arrive already
+    fake-quantized."""
+    return _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec="int8",
+                        qs=qs)
+
+
+def _fwd_rule_i8(x, scale, bias, w1, b1, w2, b2, qs):
+    out = _mlp_forward(x, scale, bias, w1, b1, w2, b2, qspec="int8",
+                       qs=qs)
+    return out, (x, scale, bias, w1, b1, w2, b2, qs)
+
+
+def _bwd_rule_i8(res, do):
+    *res_core, qs = res
+    grads = _bwd_rule("int8", 1.0, tuple(res_core), do, qs=qs)
+    return grads + (jnp.zeros_like(qs),)
+
+
+fused_mlp_block_i8.defvjp(_fwd_rule_i8, _bwd_rule_i8)

@@ -21,6 +21,27 @@ def make_loss_fn(model, distiller=None, teacher_fn=None):
     frozen teacher (run under stop_gradient — reference distill.py:132-133).
     """
     qat_int8 = model.q_format == QFormat.PyTorchINT8
+    # Two-pass INT8 QAT train step: pass 1 (no gradient) runs the
+    # discrete update-then-use composition and folds the batch into the
+    # observers; pass 2 differentiates the SAME forward through the
+    # fused Pallas block kernels with the now-frozen per-site grids
+    # (models/vit.py Block int8_qat_fuse).  Because torch MinMax
+    # observer updates are idempotent and each site's update-then-use
+    # grid equals its post-batch grid, the two-pass step computes
+    # bit-identical loss/stats to the one-pass discrete step while the
+    # differentiated pass runs un-remat'd single-kernel block halves
+    # (tests/test_fused_int8_qat.py).  MVT_INT8_QAT_FUSE=0 forces the
+    # one-pass discrete step; unset, the fused step is used off-CPU
+    # (CPU keeps one-pass — Pallas interpret mode is slower there).
+    import os as _os
+
+    _env = _os.environ.get("MVT_INT8_QAT_FUSE", "")
+    two_pass = (
+        qat_int8
+        and _env != "0"
+        and getattr(model, "dropout", 0.0) == 0.0
+        and (_env == "1" or jax.default_backend() != "cpu")
+    )
 
     def apply_model(variables, images, rng, calibrating):
         kwargs = dict(deterministic=False, rngs={"dropout": rng})
@@ -37,7 +58,32 @@ def make_loss_fn(model, distiller=None, teacher_fn=None):
             variables = {"params": params}
             if quant:
                 variables["quant"] = quant
-            out, upd = apply_model(variables, batch["image"], rng, True)
+            if two_pass and quant:
+                # pass 1: observers only — quant2 is stop_gradient'd,
+                # so autodiff generates no backward for this apply
+                _, upd1 = model.apply(
+                    {
+                        "params": jax.lax.stop_gradient(params),
+                        "quant": quant,
+                    },
+                    batch["image"], calibrating=True,
+                    mutable=["quant"], deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                quant2 = jax.lax.stop_gradient(upd1["quant"])
+                # pass 2: the differentiated fused forward; the
+                # re-updates it writes equal quant2 (idempotent)
+                out, _ = model.apply(
+                    {"params": params, "quant": quant2},
+                    batch["image"], calibrating=True, int8_fused=True,
+                    mutable=["quant"], deterministic=False,
+                    rngs={"dropout": rng},
+                )
+                upd = {"quant": quant2}
+            else:
+                out, upd = apply_model(
+                    variables, batch["image"], rng, True
+                )
             logits = out
             loss = cross_entropy_loss(logits, batch["label"])
             acc = jnp.mean(
